@@ -1,0 +1,74 @@
+"""Frame backend: scrambled data symbols -> PDU octets, batched on device.
+
+Everything from descrambling through Viterbi chainback is a feed-forward,
+statically-shaped array program per mode, so frames collected from many
+channels are decoded as one batch:
+
+  phase flips (scrambler + BPSK ambiguity) -> soft PSK demod ->
+  deinterleave gather -> (rate-1/4 chip averaging) -> batched Viterbi ->
+  LSB-first byte packing.
+
+Reference behavior: /root/reference/src/hfdl.c:993-1056.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from .. import sequences as seq
+from ..ops import bits as bitops
+from ..ops import fec
+from ..ops import interleave
+from ..ops import psk
+
+
+@functools.partial(jax.jit, static_argnames=('mode',))
+def decode_frame_batch(data_symbols: jax.Array,
+                       bitmask: jax.Array,
+                       mode: int) -> jax.Array:
+    """Decode a batch of frames of one mode.
+
+    Args:
+      data_symbols: (B, num_data_symbols) complex64 equalized data symbols.
+      bitmask: (B,) int32/bool; 1 when the Costas loop locked pi out of
+        phase (A-correlation was negative) -> extra phase flip
+        (hfdl.c:788,1013).
+      mode: 0..7 (static).
+
+    Returns:
+      (B, framebits) int8 decoded bits (pack with pdu_bytes_from_bits).
+    """
+    p = C.MODES[mode]
+    scr = jnp.asarray(seq.bipolar(seq.scrambler_for_symbols(p.num_data_symbols)))
+    flip = jnp.where(jnp.asarray(bitmask).astype(bool), -1.0, 1.0)[:, None]
+    syms = data_symbols * scr[None, :] * flip
+    soft = psk.soft_demodulate(syms, p.arity)            # (B, S, arity) uint8
+    soft = soft.reshape(syms.shape[0], p.num_encoded_bits)
+    perm = jnp.asarray(interleave.deinterleave_perm(mode))
+    soft = jnp.take(soft, perm, axis=1)
+    if p.code_rate == 4:
+        pairs = soft.reshape(soft.shape[0], -1, 2).astype(jnp.int32)
+        a, b = pairs[..., 0], pairs[..., 1]
+        soft = ((a & b) + ((a ^ b) >> 1)).astype(jnp.uint8)  # floor avg (hfdl.c:1032)
+    return fec.viterbi_decode(soft, p.framebits)
+
+
+def pdu_bytes_from_bits(bits: np.ndarray) -> list[bytes]:
+    """(B, framebits) bits -> list of PDU byte strings (LSB-first packing)."""
+    out = []
+    arr = np.asarray(bits, dtype=np.uint8)
+    for row in arr:
+        out.append(bytes(bitops.bits_to_bytes_lsb_first(row)))
+    return out
+
+
+def decode_frames(data_symbols: np.ndarray, bitmask: np.ndarray, mode: int) -> list[bytes]:
+    """Convenience host wrapper: symbols -> PDU octet strings."""
+    bits = decode_frame_batch(jnp.asarray(data_symbols),
+                              jnp.asarray(bitmask), mode)
+    return pdu_bytes_from_bits(np.asarray(bits))

@@ -1,0 +1,14 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests must not depend on TPU hardware; multi-chip sharding is validated on
+XLA's host-platform device simulation (see SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_ENABLE_X64', '0')
