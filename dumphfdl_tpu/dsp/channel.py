@@ -1,0 +1,179 @@
+"""Narrowband channel demodulator: 5400 sps complex in -> decoded PDUs out.
+
+Composition of the device-side stages, batched over channels:
+
+  AGC (scan, liquid agc_crcf behavior, hfdl.c:485-487) ->
+  matched filter (batched conv, hfdl.c:148-155,694-695) ->
+  tracker scan (timing/costas/EQ/framer, tracker.py) ->
+  frame sink (parity-indexed persistent frame buffers) ->
+  frame backend (descramble/deinterleave/Viterbi, backend.py)
+
+State is carried across blocks so arbitrarily long streams decode
+incrementally; a block must be shorter than two frame lengths so the
+two-slot frame-parity buffers never collide (~4 s is safe).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from . import backend
+from .tracker import HALO, TrackerOutputs, TrackerState, tracker_block, tracker_init
+
+
+class AgcState(NamedTuple):
+    gain: jax.Array      # (C,) f32
+    energy: jax.Array    # (C,) f32 smoothed output energy
+
+
+def agc_init(num_channels: int) -> AgcState:
+    return AgcState(gain=jnp.ones((num_channels,), jnp.float32),
+                    energy=jnp.ones((num_channels,), jnp.float32))
+
+
+@jax.jit
+def agc_block(state: AgcState, x: jax.Array) -> tuple[AgcState, jax.Array, jax.Array]:
+    """AGC: normalize each channel to unit RMS with bandwidth 0.01.
+
+    TPU-first reformulation of liquid agc_crcf (hfdl.c:485-487): instead of
+    the serial log-gain feedback on *output* energy, track an EMA of
+    *input* energy and set g = 1/sqrt(e).  Same equilibrium (unit output
+    energy) and the same single-pole bandwidth, but monotone convergence
+    (no transient limit cycles) -- and the EMA is an associative scan, so
+    XLA can parallelize it.
+
+    Returns (state, y (C,T) normalized, level (C,T) input-level estimate
+    == agc_crcf_get_signal_level).
+    """
+    a = C.AGC_BANDWIDTH
+    # associative first-order recurrence: e_t = (1-a) e_{t-1} + a p_t
+    p = a * (x.real ** 2 + x.imag ** 2)           # (C, T)
+    decay = jnp.full_like(p, 1.0 - a)
+
+    def combine(c1, c2):
+        d1, s1 = c1
+        d2, s2 = c2
+        return d1 * d2, s1 * d2 + s2
+
+    d, s = jax.lax.associative_scan(combine, (decay.T, p.T), axis=0)
+    e = d * state.energy[None, :] + s             # (T, C)
+    e = e.T
+    level = jnp.sqrt(jnp.maximum(e, 1e-12))
+    g = jnp.clip(1.0 / level, 1e-6, 1e6)
+    new_state = AgcState(gain=g[:, -1], energy=e[:, -1])
+    return new_state, x * g, level
+
+
+@jax.jit
+def matched_filter(x: jax.Array) -> jax.Array:
+    """19-tap matched FIR, causal, batched over channels (hfdl.c:694-695)."""
+    taps = jnp.asarray(np.asarray(C.MF_TAPS, np.float32))
+    k = taps.shape[0]
+    xp = jnp.pad(x, ((0, 0), (k - 1, 0)))
+
+    def conv1(row):
+        return jnp.convolve(row, taps, mode='valid')
+
+    re = jax.vmap(conv1)(xp.real)
+    im = jax.vmap(conv1)(xp.imag)
+    return (re + 1j * im).astype(jnp.complex64)
+
+
+class FrameEvent(NamedTuple):
+    """Host-side record of one completed frame."""
+    channel: int
+    mode: int
+    bitmask: bool
+    freq_err_hz: float
+    rssi: float           # linear signal level
+    noise_floor: float    # linear
+    train_bad: int
+    train_total: int
+    start_symbol: int     # absolute symbol index of frame start (prekey)
+    pdu: bytes | None = None
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_frames(framebuf: jax.Array, outs: TrackerOutputs) -> jax.Array:
+    """Scatter labeled data symbols into (C, 2, DATA_SYMBOLS_MAX) buffers."""
+    t, c = outs.sym.shape
+    ch = jnp.broadcast_to(jnp.arange(c)[None, :], (t, c))
+    idx = jnp.where(outs.is_data, outs.data_idx, C.DATA_SYMBOLS_MAX)  # OOB -> drop
+    return framebuf.at[ch.ravel(), outs.frame_parity.ravel(), idx.ravel()] \
+        .set(outs.sym.ravel(), mode='drop')
+
+
+@dataclasses.dataclass
+class ChannelBank:
+    """Streaming demodulator for a batch of channels at 5400 sps."""
+    num_channels: int
+    agc_state: AgcState = None
+    tracker_state: TrackerState = None
+    framebuf: jax.Array = None
+    _tail: jax.Array = None        # (C, HALO) input halo (post-MF domain inputs)
+    _lvl_tail: jax.Array = None
+
+    def __post_init__(self):
+        c = self.num_channels
+        self.agc_state = agc_init(c)
+        self.tracker_state = tracker_init(c)
+        self.framebuf = jnp.zeros((c, 2, C.DATA_SYMBOLS_MAX), dtype=jnp.complex64)
+        self._tail = jnp.zeros((c, HALO), dtype=jnp.complex64)
+        self._lvl_tail = jnp.ones((c, HALO), dtype=jnp.float32)
+
+    def process(self, samples: np.ndarray) -> list[FrameEvent]:
+        """Feed a (C, T) block at 5400 sps; returns completed frames."""
+        x = jnp.asarray(samples, dtype=jnp.complex64)
+        self.agc_state, y, level = agc_block(self.agc_state, x)
+        mf = matched_filter(y)
+        mf_ext = jnp.concatenate([self._tail, mf], axis=1)
+        lvl_ext = jnp.concatenate([self._lvl_tail, level], axis=1)
+        self._tail = mf_ext[:, -HALO:]
+        self._lvl_tail = lvl_ext[:, -HALO:]
+        t_total = mf_ext.shape[1]
+        num_steps = int((t_total - 2 * HALO) * C.SYMSYNC_OUT_RATE // C.SPS)
+        self.tracker_state, outs = tracker_block(
+            self.tracker_state, mf_ext, lvl_ext, num_steps)
+        self.framebuf = _scatter_frames(self.framebuf, outs)
+        return self._collect_events(outs)
+
+    def _collect_events(self, outs: TrackerOutputs) -> list[FrameEvent]:
+        emit = np.asarray(outs.emit)
+        if not emit.any():
+            return []
+        events: list[FrameEvent] = []
+        framebuf = np.asarray(self.framebuf)
+        steps, chans = np.nonzero(emit)
+        # group frames by mode for batched backend decode
+        per_mode: dict[int, list[tuple[int, np.ndarray, bool]]] = {}
+        for s, ch in zip(steps, chans):
+            mode = int(np.asarray(outs.emit_mode)[s, ch])
+            parity = int(np.asarray(outs.emit_parity)[s, ch])
+            nsym = C.MODES[mode].num_data_symbols
+            ev = FrameEvent(
+                channel=int(ch), mode=mode,
+                bitmask=bool(np.asarray(outs.emit_bitmask)[s, ch]),
+                freq_err_hz=float(np.asarray(outs.emit_freq_err)[s, ch]),
+                rssi=float(np.asarray(outs.emit_rssi)[s, ch]),
+                noise_floor=float(np.asarray(outs.emit_nf)[s, ch]),
+                train_bad=int(np.asarray(outs.emit_train_bad)[s, ch]),
+                train_total=int(np.asarray(outs.emit_train_total)[s, ch]),
+                start_symbol=int(np.asarray(outs.emit_start_sym)[s, ch]),
+            )
+            per_mode.setdefault(mode, []).append(
+                (len(events), framebuf[ch, parity, :nsym], ev.bitmask))
+            events.append(ev)
+        for mode, items in per_mode.items():
+            syms = np.stack([it[1] for it in items])
+            masks = np.asarray([it[2] for it in items])
+            pdus = backend.decode_frames(syms, masks, mode)
+            for (evi, _, _), pdu in zip(items, pdus):
+                events[evi] = events[evi]._replace(pdu=pdu)
+        return events

@@ -1,0 +1,289 @@
+"""Wideband FFT channelizer: one capture -> N channel streams at 5400 sps.
+
+TPU-first re-architecture of the reference's fastddc overlap-&-scrap DDC
+(/root/reference/src/fastddc.c, src/fft.c):
+
+* The forward overlap-save FFT is *batched over blocks* (strided framing +
+  one batched FFT) instead of one serial FFT thread.
+* Per-channel work -- spectrum x filter-FFT multiply, coarse bin shift,
+  frequency-domain decimation fold, inverse FFT, scrap -- is a single
+  (blocks, channels, fft_size) array program; the channel axis is the
+  shardable batch dimension.
+* The reference's separate residual-shift rotator + time decimator +
+  arbitrary resampler (libcsdr_gpl.c:41-74, msresamp at hfdl.c:471-473)
+  collapse into one mixer + polyphase arbitrary resampler straight from
+  fs/pre_decimation to 5400 sps.
+
+Geometry formulas replicate fastddc_init (fastddc.c:46-80) so filter
+lengths/overlap match the reference's numerical design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+
+
+def next_pow2(x: int) -> int:
+    """Smallest power of two strictly greater than x (libcsdr.c:36-45)."""
+    p = 1
+    while p <= x:
+        p *= 2
+    return p
+
+
+def compute_fft_decimation_rate(sample_rate: int, target_rate: int = C.INTERNAL_RATE) -> int:
+    """libcsdr.c:140-144 / main.c:699."""
+    return next_pow2(int(sample_rate // target_rate)) // 2
+
+
+def firdes_filter_len(transition_bw: float) -> int:
+    n = int(4.0 / transition_bw)
+    return n + 1 if n % 2 == 0 else n
+
+
+def firdes_lowpass(length: int, cutoff_rate: float) -> np.ndarray:
+    """Windowed-sinc lowpass, Hamming window (libcsdr.c:94-108)."""
+    middle = length // 2
+    i = np.arange(1, middle + 1)
+    rate = 0.5 + (i / middle) / 2
+    win = 0.54 - 0.46 * np.cos(2 * np.pi * rate)
+    taps = np.empty(length, dtype=np.float64)
+    taps[middle] = 2 * np.pi * cutoff_rate   # window_function(0) == 1.0
+    side = np.sin(2 * np.pi * cutoff_rate * i) / i * win
+    taps[middle + 1:] = side
+    taps[middle - 1::-1] = side
+    return (taps / taps.sum()).astype(np.float64)
+
+
+def firdes_bandpass_c(length: int, lowcut: float, highcut: float) -> np.ndarray:
+    """Complex bandpass: lowpass spectrally shifted (libcsdr.c:110-133)."""
+    real = firdes_lowpass(length, (highcut - lowcut) / 2)
+    center = (highcut + lowcut) / 2
+    phase = 2 * np.pi * center * np.arange(length)
+    return (real * np.exp(1j * phase)).astype(np.complex64)
+
+
+@dataclasses.dataclass(frozen=True)
+class DdcGeometry:
+    """Overlap-&-scrap geometry (fastddc.c:46-80 with post folded in-band)."""
+    decimation: int         # power of two (compute_fft_decimation_rate)
+    taps_length: int
+    fft_size: int
+    overlap_length: int
+    input_size: int
+    fft_inv_size: int       # fft_size // decimation
+    scrap: int
+    post_input_size: int
+    v: int                  # coarse-shift bin quantum = fft_size // overlap
+
+    @property
+    def fs1_ratio(self) -> int:
+        return self.decimation
+
+
+def compute_geometry(decimation: int, transition_bw: float) -> DdcGeometry:
+    taps_min = firdes_filter_len(transition_bw)
+    taps_length = next_pow2(-(-taps_min // decimation) * decimation) + 1
+    fft_size = next_pow2(taps_length * 4)
+    while fft_size < decimation:
+        fft_size *= 2
+    overlap = taps_length - 1
+    input_size = fft_size - overlap
+    fft_inv = fft_size // decimation
+    v = fft_size // overlap
+    scrap = overlap // decimation
+    return DdcGeometry(
+        decimation=decimation, taps_length=taps_length, fft_size=fft_size,
+        overlap_length=overlap, input_size=input_size, fft_inv_size=fft_inv,
+        scrap=scrap, post_input_size=fft_inv - scrap, v=v)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelPlan:
+    """Per-channel downconversion parameters."""
+    frequency: int          # Hz (channel frequency, SSB carrier at +1440)
+    shift_rate: float       # (centerfreq - (freq+1440)) / fs  (hfdl.c:476)
+    coarse_bins: int        # quantized shift, multiple of geometry.v
+    residual_cycles: float  # residual shift, cycles per fs1 sample
+
+
+def plan_channel(geo: DdcGeometry, sample_rate: int, centerfreq: int,
+                 frequency: int) -> ChannelPlan:
+    shift = (centerfreq - (frequency + C.SSB_CARRIER_OFFSET_HZ)) / sample_rate
+    n = geo.fft_size
+    b_f = -shift * n
+    b = geo.v * int(round(b_f / geo.v))
+    db = b_f - b                       # residual, fft bins at fs
+    residual = -db * geo.decimation / n  # cycles per fs1 sample (down-shift)
+    return ChannelPlan(frequency=frequency, shift_rate=shift,
+                       coarse_bins=b, residual_cycles=residual)
+
+
+@functools.cache
+def _resampler_bank(ratio_x1000: int, ntaps: int, nphases: int = 64) -> np.ndarray:
+    """Polyphase windowed-sinc bank for arbitrary-rate conversion.
+
+    Bank p interpolates at delay (ntaps//2-1) + p/nphases, with cutoff
+    scaled for anti-aliasing when downsampling (60 dB stopband kaiser,
+    matching the reference msresamp design intent, hfdl.c:472).
+    """
+    ratio = ratio_x1000 / 1000.0      # fs_in / fs_out
+    cutoff = 0.45 * min(1.0, 1.0 / ratio)
+    n = np.arange(ntaps)
+    center = ntaps // 2 - 1
+    bank = np.zeros((nphases + 1, ntaps), dtype=np.float32)
+    win = np.kaiser(ntaps, 7.0)
+    for p in range(nphases + 1):
+        t = n - (center + p / nphases)
+        h = 2 * cutoff * np.sinc(2 * cutoff * t) * win
+        bank[p] = h / max(h.sum(), 1e-9)
+    return bank
+
+
+class Channelizer:
+    """Streaming wideband -> per-channel 5400 sps converter.
+
+    Host-side orchestration with jitted device kernels; all shapes static
+    per chunk size.  Sequential state: forward-FFT overlap tail, per-channel
+    mixer phase, resampler read position.
+    """
+
+    def __init__(self, sample_rate: int, centerfreq: int,
+                 frequencies: list[int],
+                 decimation: int | None = None,
+                 transition_bw: float | None = None,
+                 out_chunk: int = 1024):
+        self.fs = int(sample_rate)
+        self.centerfreq = int(centerfreq)
+        if decimation is None:
+            decimation = compute_fft_decimation_rate(self.fs)
+        if transition_bw is None:
+            transition_bw = C.CHANNEL_TRANSITION_BW_HZ / self.fs
+        self.geo = compute_geometry(decimation, transition_bw)
+        self.fs1 = self.fs / decimation
+        self.plans = [plan_channel(self.geo, self.fs, centerfreq, f)
+                      for f in frequencies]
+        self.num_channels = len(frequencies)
+        self.out_chunk = out_chunk
+
+        geo = self.geo
+        # filter kernels: FFT of complex bandpass taps, zero-padded (DC order)
+        hbw = 0.5 / decimation
+        kernels = np.zeros((self.num_channels, geo.fft_size), dtype=np.complex64)
+        for i, p in enumerate(self.plans):
+            taps = firdes_bandpass_c(geo.taps_length, -p.shift_rate - hbw,
+                                     -p.shift_rate + hbw)
+            kernels[i, :geo.taps_length] = taps
+        self._kernels_fft = jnp.asarray(np.fft.fft(kernels, axis=1).astype(np.complex64))
+        self._coarse = np.asarray([p.coarse_bins for p in self.plans], np.int32)
+        self._residual = np.asarray([p.residual_cycles for p in self.plans], np.float64)
+
+        # streaming state
+        self._in_tail = np.zeros(geo.overlap_length, dtype=np.complex64)
+        self._mixer_phase = np.zeros(self.num_channels, dtype=np.float64)
+        self._fs1_ring = np.zeros((self.num_channels, 0), dtype=np.complex64)
+        self._ring_global_start = 0    # global fs1-sample index of ring[0]
+        self._out_count = 0            # total 5400-sps samples emitted
+        self.ratio = self.fs1 / C.INTERNAL_RATE   # fs1 samples per output
+        self._rs_taps = int(8 * max(1, int(np.ceil(self.ratio))))
+        self._bank = jnp.asarray(_resampler_bank(
+            int(round(self.ratio * 1000)), self._rs_taps))
+
+    # ---- device kernels ----
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _channelize_blocks(self, frames: jax.Array) -> jax.Array:
+        """(B, fft_size) time frames -> (C, B*post_input_size) fs1 samples."""
+        geo = self.geo
+        spec = jnp.fft.fft(frames, axis=1)                     # (B, N)
+        # per-channel coarse shift: gather bins (k + b) mod N, fold by decim
+        L = geo.fft_inv_size
+        prod = spec[:, None, :] * self._kernels_fft[None, :, :]       # (B, C, N)
+        # coarse downconversion by b bins: Y'[k] = Y[(k+b) mod N] = roll(Y, -b)
+        shifted = jax.vmap(lambda p, b: jnp.roll(p, -b, axis=-1),
+                           in_axes=(1, 0), out_axes=1)(
+                               prod, jnp.asarray(self._coarse))
+        folded = shifted.reshape(prod.shape[0], self.num_channels,
+                                 geo.decimation, L).sum(axis=2)
+        time = jnp.fft.ifft(folded, axis=2)                    # (B, C, L)
+        time = time[:, :, geo.scrap:]                          # scrap overlap
+        return time.transpose(1, 0, 2).reshape(self.num_channels, -1)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _resample(self, ring: jax.Array, offsets: jax.Array,
+                  phases: jax.Array, n_out: int) -> jax.Array:
+        """Gather-interpolate n_out samples at positions offsets (shared)."""
+        k = self._rs_taps
+        win_idx = offsets[:, None] + jnp.arange(k)[None, :]    # (n_out, K)
+        wins = ring[:, win_idx]                                # (C, n_out, K)
+        taps = self._bank[phases]                              # (n_out, K)
+        return jnp.einsum('cok,ok->co', wins, taps)
+
+    # ---- streaming API ----
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        """Feed wideband samples; returns (C, M*out_chunk) at 5400 sps
+        (M >= 0 full chunks; remainder is buffered)."""
+        geo = self.geo
+        buf = np.concatenate([self._in_tail, np.asarray(samples, np.complex64)])
+        n_frames = (len(buf) - geo.overlap_length) // geo.input_size
+        if n_frames > 0:
+            used = n_frames * geo.input_size
+            frames = np.lib.stride_tricks.sliding_window_view(
+                buf[:used + geo.overlap_length], geo.fft_size)[::geo.input_size]
+            self._in_tail = buf[used:]
+            out = np.asarray(self._channelize_blocks(jnp.asarray(frames)))
+            out = self._mix(out)
+            self._fs1_ring = np.concatenate([self._fs1_ring, out], axis=1)
+        else:
+            self._in_tail = buf
+        return self._drain_resampler()
+
+    def _mix(self, x: np.ndarray) -> np.ndarray:
+        """Residual per-channel downconversion with carried phase."""
+        n = x.shape[1]
+        ph = (self._mixer_phase[:, None]
+              + self._residual[:, None] * np.arange(n)[None, :])
+        self._mixer_phase = (self._mixer_phase + self._residual * n) % 1.0
+        return (x * np.exp(-2j * np.pi * ph)).astype(np.complex64)
+
+    def _drain_resampler(self) -> np.ndarray:
+        chunks = []
+        k = self._rs_taps
+        while True:
+            avail = self._ring_global_start + self._fs1_ring.shape[1]
+            # positions for the next out_chunk outputs
+            n0 = self._out_count
+            last_pos = (n0 + self.out_chunk - 1) * self.ratio
+            if int(np.floor(last_pos)) + k >= avail:
+                break
+            pos = (n0 + np.arange(self.out_chunk)) * self.ratio \
+                - self._ring_global_start
+            base = np.floor(pos).astype(np.int64)
+            frac = pos - base
+            offsets = base - (k // 2 - 1)
+            if offsets.min() < 0:
+                # should not happen (ring trimmed conservatively)
+                offsets = np.maximum(offsets, 0)
+            phases = np.round(frac * 64).astype(np.int32)
+            out = self._resample(jnp.asarray(self._fs1_ring),
+                                 jnp.asarray(offsets), jnp.asarray(phases),
+                                 self.out_chunk)
+            chunks.append(np.asarray(out))
+            self._out_count += self.out_chunk
+            # trim ring
+            keep_from = int(np.floor(self._out_count * self.ratio)) - k
+            drop = max(0, keep_from - self._ring_global_start)
+            if drop:
+                self._fs1_ring = self._fs1_ring[:, drop:]
+                self._ring_global_start += drop
+        if not chunks:
+            return np.zeros((self.num_channels, 0), dtype=np.complex64)
+        return np.concatenate(chunks, axis=1)

@@ -1,0 +1,76 @@
+"""Wideband receiver: glue from raw wideband samples to decoded frames.
+
+Equivalent of the reference's block graph (input -> fft -> N channel
+threads -> pdu queue, /root/reference/src/main.c:687-790), collapsed into
+a Channelizer (frontend.py) feeding one batched ChannelBank (channel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .. import constants as C
+from .channel import ChannelBank, FrameEvent
+from .frontend import Channelizer
+
+
+@dataclasses.dataclass
+class WidebandReceiver:
+    sample_rate: int
+    centerfreq: int
+    frequencies: list[int]          # Hz
+    block_len: int = 5400           # 5400-sps samples per demod block
+
+    def __post_init__(self):
+        self.channelizer = Channelizer(self.sample_rate, self.centerfreq,
+                                       self.frequencies)
+        self.bank = ChannelBank(len(self.frequencies))
+        self._nb_buf = np.zeros((len(self.frequencies), 0), dtype=np.complex64)
+        self.sample_clock = 0       # wideband samples consumed
+
+    def process(self, wideband: np.ndarray) -> list[FrameEvent]:
+        """Feed wideband complex samples; returns completed frames."""
+        self.sample_clock += len(wideband)
+        nb = self.channelizer.process(wideband)
+        if nb.shape[1]:
+            self._nb_buf = np.concatenate([self._nb_buf, nb], axis=1)
+        events: list[FrameEvent] = []
+        while self._nb_buf.shape[1] >= self.block_len:
+            block = self._nb_buf[:, :self.block_len]
+            self._nb_buf = self._nb_buf[:, self.block_len:]
+            events.extend(self.bank.process(block))
+        return events
+
+    def flush(self) -> list[FrameEvent]:
+        """Drain buffered narrowband samples (zero-pad the last block)."""
+        events: list[FrameEvent] = []
+        # push silence through so partially-buffered frames complete
+        pad = np.zeros(self.block_len * 3 * self.channelizer.geo.decimation,
+                       dtype=np.complex64)
+        events.extend(self.process(pad))
+        return events
+
+
+@dataclasses.dataclass
+class NarrowbandReceiver:
+    """Single-stream receiver for input already at 5400 sps (one channel)."""
+    block_len: int = 5400
+
+    def __post_init__(self):
+        self.bank = ChannelBank(1)
+        self._buf = np.zeros(0, dtype=np.complex64)
+
+    def process(self, samples: np.ndarray) -> list[FrameEvent]:
+        self._buf = np.concatenate([self._buf, np.asarray(samples, np.complex64)])
+        events: list[FrameEvent] = []
+        while len(self._buf) >= self.block_len:
+            block = self._buf[None, :self.block_len]
+            self._buf = self._buf[self.block_len:]
+            events.extend(self.bank.process(block))
+        return events
+
+    def flush(self) -> list[FrameEvent]:
+        pad = np.zeros(C.SINGLE_SLOT_FRAME_LEN * C.SPS, dtype=np.complex64)
+        return self.process(pad)

@@ -1,0 +1,481 @@
+"""Streaming per-channel demodulator: one fused scan over the symbol clock.
+
+TPU-first redesign of the reference's per-sample decoder thread
+(/root/reference/src/hfdl.c:593-935).  The reference runs one pthread per
+channel, iterating sample-by-sample through liquid-dsp objects.  Here *all*
+channels advance in lockstep through a single ``lax.scan`` whose carry is a
+pytree of (C,)-shaped state vectors, so channel count is a batch dimension
+and the sequential axis is the symbol clock (2 steps per symbol, matching
+the reference's symsync output rate).
+
+Differences from the serial design (behavior-preserving):
+
+* Timing recovery interpolates the fully materialized, matched-filtered
+  block directly (polyphase windowed-sinc bank + derivative bank with a
+  maximum-likelihood timing error detector) instead of liquid's
+  streaming symsync; loop constants follow hfdl.c:503-505.
+* The A/M1 correlators are a (C,127)x(127,9) matmul per symbol instead of
+  bsequence popcounts (hfdl.c:781,824).
+* Frame payloads are not buffered in-scan: each data symbol is emitted with
+  a (frame parity, slot index) label and scattered into persistent frame
+  buffers afterwards (see framesink.py); training-bit errors are counted
+  incrementally (hfdl.c:952-966 equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from .. import sequences as seq
+
+# --- framer states (hfdl.c:54-62) ---
+A1_SEARCH, A2_SEARCH, M1_SEARCH, M2_SKIP, EQ_TRAIN, DATA_1, DATA_2 = range(1, 8)
+
+# --- interpolator geometry ---
+NPHASES = 32
+ITAPS = 8          # interpolation taps
+HALO = 24          # input halo kept between blocks (samples at 5400)
+
+_TS_CORRECTION_SYMBOLS = C.PREKEY_LEN + 2 * C.A_LEN  # timestamp backdate (hfdl.c:658)
+
+
+@functools.cache
+def _interp_banks() -> tuple[np.ndarray, np.ndarray]:
+    """(NPHASES+1, ITAPS) windowed-sinc interpolation + derivative banks.
+
+    Bank p interpolates at fractional delay p/NPHASES between input samples
+    ITAPS//2-1 and ITAPS//2 of the window.
+    """
+    h = np.zeros((NPHASES + 1, ITAPS), dtype=np.float32)
+    dh = np.zeros((NPHASES + 1, ITAPS), dtype=np.float32)
+    center = ITAPS // 2 - 1
+    n = np.arange(ITAPS)
+    for p in range(NPHASES + 1):
+        mu = p / NPHASES
+        t = n - (center + mu)
+        w = np.kaiser(ITAPS, 6.0)
+        # windowed sinc with mild rolloff to tame edge phases
+        h[p] = np.sinc(t) * w
+        h[p] /= h[p].sum() if abs(h[p].sum()) > 1e-6 else 1.0
+        # derivative of sinc: d/dt sinc(t)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            ds = np.where(np.abs(t) < 1e-8, 0.0,
+                          (np.cos(np.pi * t) - np.sinc(t)) / t)
+        dh[p] = ds * w
+    return h, dh
+
+
+class TrackerState(NamedTuple):
+    # timing
+    tau: jax.Array          # (C,) f32 position in extended input block
+    rate: jax.Array         # (C,) f32 timing-loop integrator (samples/step)
+    out_idx: jax.Array      # (C,) i32 symsync output index (parity = symbol strobe)
+    # costas (hfdl.c:250-294)
+    phi: jax.Array          # (C,) f32
+    dphi: jax.Array         # (C,) f32
+    # equalizer
+    eq_taps: jax.Array      # (C, EQ_LEN) c64
+    eq_buf: jax.Array       # (C, EQ_LEN) c64
+    # bit window for A/M correlation
+    window: jax.Array       # (C, 127) f32 bipolar (+1 = bit 0)
+    # framer
+    fr_state: jax.Array     # (C,) i32
+    symbols_wanted: jax.Array  # (C,) i32
+    search_retries: jax.Array  # (C,) i32
+    bitmask: jax.Array      # (C,) bool
+    mode: jax.Array         # (C,) i32 detected M1 match
+    data_arity: jax.Array   # (C,) i32
+    cur_arity: jax.Array    # (C,) i32
+    data_segments_left: jax.Array  # (C,) i32
+    eq_train_cnt: jax.Array  # (C,) i32
+    t_idx: jax.Array        # (C,) i32
+    data_idx: jax.Array     # (C,) i32 next data-symbol slot
+    frame_counter: jax.Array  # (C,) i32
+    symbol_cnt: jax.Array   # (C,) i32 watchdog counter
+    abs_symbol: jax.Array   # (C,) i64-ish i32 absolute symbol index
+    frame_start_sym: jax.Array  # (C,) i32
+    train_bad: jax.Array    # (C,) i32
+    train_total: jax.Array  # (C,) i32
+    # measurements
+    freq_err: jax.Array     # (C,) f32
+    signal_level: jax.Array  # (C,) f32
+    frame_sym_cnt: jax.Array  # (C,) f32
+    noise_floor: jax.Array  # (C,) f32
+    nf_clk: jax.Array       # (C,) i32
+
+
+class TrackerOutputs(NamedTuple):
+    """Per-step, per-channel scan outputs; axes (T_out, C)."""
+    sym: jax.Array          # c64 equalized symbol (valid at symbol strobes)
+    is_data: jax.Array      # bool
+    data_idx: jax.Array     # i32 slot within frame
+    frame_parity: jax.Array  # i32 frame_counter & 1
+    emit: jax.Array         # bool frame-complete event
+    emit_mode: jax.Array    # i32
+    emit_bitmask: jax.Array  # bool
+    emit_parity: jax.Array  # i32
+    emit_freq_err: jax.Array  # f32 Hz
+    emit_rssi: jax.Array    # f32 linear signal level
+    emit_nf: jax.Array      # f32 linear noise floor
+    emit_train_bad: jax.Array   # i32
+    emit_train_total: jax.Array  # i32
+    emit_start_sym: jax.Array   # i32 absolute symbol index of frame start
+
+
+def _init_eq_taps() -> np.ndarray:
+    """Initial equalizer: near-Nyquist lowpass == pass-through with delay
+    (liquid eqlms_cccf_create_lowpass(15, 0.45), hfdl.c:495)."""
+    n = np.arange(C.EQ_LEN) - (C.EQ_LEN - 1) / 2
+    h = 2 * 0.45 * np.sinc(2 * 0.45 * n) * np.hamming(C.EQ_LEN)
+    h = h / h.sum()
+    return h.astype(np.complex64)
+
+
+def tracker_init(num_channels: int) -> TrackerState:
+    c = num_channels
+    z = lambda dt=jnp.int32: jnp.zeros((c,), dtype=dt)
+    return TrackerState(
+        tau=jnp.full((c,), float(HALO), dtype=jnp.float32),
+        rate=z(jnp.float32),
+        out_idx=z(),
+        phi=z(jnp.float32),
+        dphi=z(jnp.float32),
+        eq_taps=jnp.tile(jnp.asarray(_init_eq_taps())[None, :], (c, 1)),
+        eq_buf=jnp.zeros((c, C.EQ_LEN), dtype=jnp.complex64),
+        window=jnp.ones((c, C.A_LEN), dtype=jnp.float32),
+        fr_state=jnp.full((c,), A1_SEARCH, dtype=jnp.int32),
+        symbols_wanted=jnp.ones((c,), dtype=jnp.int32),
+        search_retries=z(),
+        bitmask=z(bool),
+        mode=z(),
+        data_arity=jnp.ones((c,), dtype=jnp.int32),
+        cur_arity=jnp.ones((c,), dtype=jnp.int32),
+        data_segments_left=z(),
+        eq_train_cnt=z(),
+        t_idx=z(),
+        data_idx=z(),
+        frame_counter=z(),
+        symbol_cnt=z(),
+        abs_symbol=z(),
+        frame_start_sym=z(),
+        train_bad=z(),
+        train_total=z(),
+        freq_err=z(jnp.float32),
+        signal_level=jnp.full((c,), 1e-3, dtype=jnp.float32),
+        frame_sym_cnt=z(jnp.float32),
+        noise_floor=jnp.ones((c,), dtype=jnp.float32),
+        nf_clk=z(),
+    )
+
+
+def _demod_bits_and_err(y, arity):
+    """Hard BPSK bit, and phase error for the active arity.
+
+    Returns (bpsk_bit (C,) i32, phase_err (C,) f32) following the liquid
+    modem conventions (see ops/psk.py).
+    """
+    theta = jnp.arctan2(y.imag, y.real)
+    # phase error to nearest constellation point, per arity
+    err_b = theta - jnp.round(theta / jnp.pi) * jnp.pi
+    tq = theta - np.pi / 4
+    err_q = tq - jnp.round(tq / (np.pi / 2)) * (np.pi / 2)
+    err_8 = theta - jnp.round(theta / (np.pi / 4)) * (np.pi / 4)
+    err = jnp.where(arity == 1, err_b, jnp.where(arity == 2, err_q, err_8))
+    bit = (y.real < 0).astype(jnp.int32)
+    return bit, err
+
+
+@functools.partial(jax.jit, static_argnames=('num_steps',))
+def tracker_block(state: TrackerState,
+                  x: jax.Array,
+                  level: jax.Array,
+                  num_steps: int) -> tuple[TrackerState, TrackerOutputs]:
+    """Run the tracker over one block.
+
+    Args:
+      state: carried TrackerState.
+      x: (C, T) matched-filtered complex input at 5400 sps, *including* the
+         HALO samples carried from the previous block at the front.
+      level: (C, T) AGC signal-level estimate aligned with x.
+      num_steps: symsync output steps to run (~(T - 2*HALO) * 2/3).
+
+    Returns (new_state, outputs); new_state.tau is rebased for the next
+    block (caller prepends the last HALO samples of x).
+    """
+    h_np, dh_np = _interp_banks()
+    h_bank = jnp.asarray(h_np)
+    dh_bank = jnp.asarray(dh_np)
+    a_bip = jnp.asarray(seq.bipolar(seq.a_bits()))             # (127,)
+    m1_bip = jnp.asarray(seq.bipolar(seq.m1_bits_all())).T     # (127, 8)
+    t_bits = jnp.asarray(seq.t_bits(), dtype=jnp.int32)        # (15,)
+    t_bip = jnp.asarray(seq.bipolar(seq.t_bits()))             # (15,)
+    mode_segments = jnp.asarray([m.data_segment_cnt for m in C.MODES], jnp.int32)
+    mode_arity = jnp.asarray([m.arity for m in C.MODES], jnp.int32)
+
+    T = x.shape[1]
+    cidx = jnp.arange(x.shape[0])
+
+    base_step = C.SPS / C.SYMSYNC_OUT_RATE      # 1.5 input samples per step
+    # 2nd-order timing loop gains from loop bw (symsync_crcf_set_lf_bw 0.001)
+    bw = C.SYMSYNC_LOOP_BW
+    zeta = 1.0 / np.sqrt(2.0)
+    denom = 1 + 2 * zeta * bw + bw * bw
+    k1 = 4 * zeta * bw / denom
+    k2 = 4 * bw * bw / denom
+
+    def step(st: TrackerState, _):
+        # ---- interpolate at tau ----
+        i = jnp.floor(st.tau).astype(jnp.int32)
+        mu = st.tau - i.astype(jnp.float32)
+        i = jnp.clip(i, ITAPS // 2 - 1, T - ITAPS // 2 - 1)
+        start = i - (ITAPS // 2 - 1)
+        win = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (ITAPS,)))(x, start)
+        phase = jnp.round(mu * NPHASES).astype(jnp.int32)
+        hw = h_bank[phase]                     # (C, ITAPS)
+        dhw = dh_bank[phase]
+        y = jnp.sum(win * hw, axis=-1)
+        ydot = jnp.sum(win * dhw, axis=-1)
+        lvl = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (1,)))(level, i)[:, 0]
+
+        # ---- ML timing error + loop ----
+        # Evaluated at EVEN output steps: the initial equalizer's 7-step
+        # (odd) group delay maps odd-step demod onto even-step samples, so
+        # even steps must sit on the matched-filter peaks (this mirrors the
+        # liquid symsync + eqlms delay chain of the reference).
+        strobe = (st.out_idx & 1) == 0
+        q = y.real * ydot.real + y.imag * ydot.imag
+        q = jnp.where(strobe, jnp.clip(q, -1.0, 1.0), 0.0)
+        rate = st.rate + k2 * q
+        tau_next = st.tau + base_step + k1 * q + rate
+
+        # ---- costas mix (step every output sample, hfdl.c:709-710) ----
+        phi = st.phi + st.dphi
+        phi = jnp.where(phi > np.pi, phi - 2 * np.pi,
+                        jnp.where(phi < -np.pi, phi + 2 * np.pi, phi))
+        v = y * jnp.exp(-1j * phi)
+
+        # costas runaway watchdog during search (hfdl.c:711-715)
+        runaway = (jnp.abs(st.dphi) > C.COSTAS_DPHI_RESET_LIMIT) & (st.fr_state == A1_SEARCH)
+        phi = jnp.where(runaway, 0.0, phi)
+        dphi = jnp.where(runaway, 0.0, st.dphi)
+        rate = jnp.where(runaway, 0.0, rate)
+
+        # ---- equalizer push ----
+        eq_buf = jnp.concatenate([st.eq_buf[:, 1:], v[:, None]], axis=1)
+
+        out_idx = st.out_idx + 1
+        is_sym = (st.out_idx & 1) == 1         # odd index -> symbol strobe
+
+        # ---- symbol processing (masked) ----
+        y_eq = jnp.sum(st.eq_taps * eq_buf, axis=-1)
+        bit_raw, perr = _demod_bits_and_err(y_eq, st.cur_arity)
+        # costas adjust from demod phase error (hfdl.c:276-281,737-738)
+        err = jnp.clip(perr, -1.0, 1.0)
+        phi = jnp.where(is_sym, phi + C.COSTAS_ALPHA * err, phi)
+        dphi = jnp.where(is_sym, dphi + C.COSTAS_BETA * err, dphi)
+
+        # EQ training (hfdl.c:730-733)
+        in_train = is_sym & (st.fr_state == EQ_TRAIN)
+        t_i = jnp.clip(st.t_idx, 0, C.T_LEN - 1)
+        d = t_bip[t_i] * jnp.where(st.bitmask, -1.0, 1.0)
+        e = d - y_eq
+        den = jnp.sum(jnp.abs(eq_buf) ** 2, axis=-1) + 1e-6
+        upd = (C.EQ_BANDWIDTH * e / den)[:, None] * jnp.conj(eq_buf)
+        eq_taps = jnp.where(in_train[:, None], st.eq_taps + upd, st.eq_taps)
+        t_idx = jnp.where(in_train, st.t_idx + 1, st.t_idx)
+
+        # training-bit error count (hfdl.c:952-966, incremental)
+        tbit = bit_raw ^ st.bitmask.astype(jnp.int32)
+        t_err = (tbit != t_bits[t_i]).astype(jnp.int32)
+        train_bad = st.train_bad + jnp.where(in_train, t_err, 0)
+        train_total = st.train_total + jnp.where(in_train, 1, 0)
+
+        # bit window push during bit-emitting states
+        emit_bits = is_sym & (st.fr_state <= M1_SEARCH)
+        wbit = 1.0 - 2.0 * jnp.asarray(tbit, jnp.float32)  # bit^bitmask, bipolar
+        window = jnp.where(
+            emit_bits[:, None],
+            jnp.concatenate([st.window[:, 1:], wbit[:, None]], axis=1),
+            st.window)
+
+        # data symbol emission
+        in_data = is_sym & ((st.fr_state == DATA_1) | (st.fr_state == DATA_2))
+        out_data_idx = st.data_idx
+        data_idx = jnp.where(in_data, st.data_idx + 1, st.data_idx)
+
+        # signal level averaging inside a frame (hfdl.c:766-773)
+        in_frame = is_sym & (st.fr_state > A1_SEARCH)
+        sig = jnp.where(
+            in_frame,
+            (st.signal_level * st.frame_sym_cnt + lvl) / (st.frame_sym_cnt + 1.0),
+            st.signal_level)
+        frame_sym_cnt = jnp.where(in_frame, st.frame_sym_cnt + 1.0, st.frame_sym_cnt)
+
+        # noise floor EMA while hunting (hfdl.c:699-706); cadence ~256 input samples
+        nf_clk = st.nf_clk + 1
+        nf_due = (nf_clk >= 170) & (st.fr_state == A1_SEARCH)
+        nf = jnp.where(
+            nf_due,
+            0.65 * st.noise_floor + 0.35 * jnp.minimum(st.noise_floor, lvl) + 1e-6,
+            st.noise_floor)
+        nf_clk = jnp.where(nf_due, 0, nf_clk)
+
+        abs_symbol = st.abs_symbol + is_sym.astype(jnp.int32)
+        symbol_cnt = st.symbol_cnt + is_sym.astype(jnp.int32)
+        # long-hunt watchdog (hfdl.c:746-752)
+        stale = is_sym & (symbol_cnt >= C.MAX_SYMBOLS_WITHOUT_FRAME) & (st.fr_state == A1_SEARCH)
+        phi = jnp.where(stale, 0.0, phi)
+        dphi = jnp.where(stale, 0.0, dphi)
+        rate = jnp.where(stale, 0.0, rate)
+        symbol_cnt = jnp.where(stale, 0, symbol_cnt)
+
+        # ---- framer FSM ----
+        run_fsm = is_sym & (st.symbols_wanted <= 1)
+        sw = jnp.where(is_sym & ~run_fsm, st.symbols_wanted - 1, st.symbols_wanted)
+
+        corr_a = window @ a_bip / C.A_LEN                    # (C,)
+        corr_m = jnp.abs(window @ m1_bip / C.A_LEN)          # (C, 8)
+        m1_match = jnp.argmax(corr_m, axis=1).astype(jnp.int32)
+        corr_m1 = jnp.max(corr_m, axis=1)
+
+        fr = st.fr_state
+        bitmask = st.bitmask
+        retries = st.search_retries
+        mode = st.mode
+        data_arity = st.data_arity
+        cur_arity = st.cur_arity
+        segs_left = st.data_segments_left
+        eq_cnt = st.eq_train_cnt
+        freq_err = st.freq_err
+        frame_start = st.frame_start_sym
+
+        def set_where(cond, newval, old):
+            return jnp.where(cond, newval, old)
+
+        # --- A1 search ---
+        a1_hit = run_fsm & (fr == A1_SEARCH) & (jnp.abs(corr_a) > C.CORR_THRESHOLD_A1)
+        bitmask = set_where(a1_hit, corr_a < 0, bitmask)
+        sig = set_where(a1_hit, lvl, sig)
+        frame_sym_cnt = set_where(a1_hit, 1.0, frame_sym_cnt)
+        retries = set_where(a1_hit, 0, retries)
+        sw = set_where(a1_hit, C.A_LEN, sw)
+
+        # --- A2 search ---
+        in_a2 = run_fsm & (fr == A2_SEARCH)
+        a2_hit = in_a2 & (jnp.abs(corr_a) > C.CORR_THRESHOLD_A2)
+        a2_miss = in_a2 & ~a2_hit
+        a2_fail = a2_miss & (retries + 1 >= C.MAX_SEARCH_RETRIES)
+        retries = set_where(a2_miss, retries + 1, retries)
+        freq_err = set_where(a2_hit, dphi * C.SYMBOL_RATE / (2 * np.pi), freq_err)
+        frame_start = set_where(a2_hit, abs_symbol - _TS_CORRECTION_SYMBOLS, frame_start)
+        sw = set_where(a2_hit, C.M1_LEN, sw)
+        retries = set_where(a2_hit, 0, retries)
+
+        # --- M1 search ---
+        in_m1 = run_fsm & (fr == M1_SEARCH)
+        m1_hit = in_m1 & (corr_m1 > C.CORR_THRESHOLD_M1)
+        m1_fail = in_m1 & ~m1_hit
+        mode = set_where(m1_hit, m1_match, mode)
+        segs_left = set_where(m1_hit, mode_segments[m1_match], segs_left)
+        data_arity = set_where(m1_hit, mode_arity[m1_match], data_arity)
+        sw = set_where(m1_hit, C.M2_LEN, sw)
+        retries = set_where(m1_hit, 0, retries)
+
+        # --- M2 skip done ---
+        m2_done = run_fsm & (fr == M2_SKIP)
+        sw = set_where(m2_done, C.T_LEN, sw)
+        eq_cnt = set_where(m2_done, C.EQ_TRAIN_SEQ_CNT, eq_cnt)
+        data_idx = set_where(m2_done, 0, data_idx)
+
+        # --- EQ train period complete ---
+        eqt = run_fsm & (fr == EQ_TRAIN)
+        more_train = eqt & (eq_cnt > 1)
+        to_data = eqt & (eq_cnt <= 1) & (segs_left > 0)
+        frame_done = eqt & (eq_cnt <= 1) & (segs_left <= 0)
+        eq_cnt = set_where(more_train, eq_cnt - 1, eq_cnt)
+        sw = set_where(more_train | to_data, C.T_LEN * 0 + jnp.where(to_data, C.DATA_FRAME_LEN // 2, C.T_LEN), sw)
+        t_idx = set_where(more_train, 0, t_idx)
+        cur_arity = set_where(to_data, data_arity, cur_arity)
+
+        # --- data halves ---
+        d1 = run_fsm & (fr == DATA_1)
+        sw = set_where(d1, C.DATA_FRAME_LEN // 2, sw)
+        d2 = run_fsm & (fr == DATA_2)
+        segs_left = set_where(d2, segs_left - 1, segs_left)
+        cur_arity = set_where(d2, 1, cur_arity)
+        eq_cnt = set_where(d2, 1, eq_cnt)
+        sw = set_where(d2, C.T_LEN, sw)
+        t_idx = set_where(d2, 0, t_idx)
+
+        # --- state transitions ---
+        fr = set_where(a1_hit, A2_SEARCH, fr)
+        fr = set_where(a2_hit, M1_SEARCH, fr)
+        fr = set_where(m1_hit, M2_SKIP, fr)
+        fr = set_where(m2_done, EQ_TRAIN, fr)
+        fr = set_where(to_data | d1, jnp.where(d1, DATA_2, DATA_1), fr)
+        fr = set_where(d2, EQ_TRAIN, fr)
+
+        # --- frame completion event ---
+        emit = frame_done
+        emit_mode = mode
+        emit_bitmask = bitmask
+        emit_parity = st.frame_counter & 1
+        emit_freq_err = freq_err
+        emit_rssi = sig
+        emit_nf = nf
+        emit_train_bad = train_bad
+        emit_train_total = train_total
+        emit_start = frame_start
+        frame_counter = jnp.where(emit, st.frame_counter + 1, st.frame_counter)
+        symbol_cnt = jnp.where(emit, 0, symbol_cnt)
+
+        # --- framer reset (A2/M1 failure or frame completion) ---
+        do_reset = a2_fail | m1_fail | frame_done
+        fr = set_where(do_reset, A1_SEARCH, fr)
+        sw = set_where(do_reset, 1, sw)
+        retries = set_where(do_reset, 0, retries)
+        cur_arity = set_where(do_reset, 1, cur_arity)
+        train_bad = set_where(do_reset, 0, train_bad)
+        train_total = set_where(do_reset, 0, train_total)
+        t_idx = set_where(do_reset, 0, t_idx)
+        bitmask = set_where(do_reset, False, bitmask)
+        data_idx = set_where(do_reset, 0, data_idx)
+        eq_taps = jnp.where(do_reset[:, None],
+                            jnp.asarray(_init_eq_taps())[None, :], eq_taps)
+        rate = jnp.where(do_reset, 0.0, rate)  # sampler_reset -> symsync reset
+
+        new_state = TrackerState(
+            tau=tau_next, rate=rate, out_idx=out_idx,
+            phi=phi, dphi=dphi,
+            eq_taps=eq_taps, eq_buf=eq_buf, window=window,
+            fr_state=fr, symbols_wanted=sw, search_retries=retries,
+            bitmask=bitmask, mode=mode, data_arity=data_arity,
+            cur_arity=cur_arity, data_segments_left=segs_left,
+            eq_train_cnt=eq_cnt, t_idx=t_idx, data_idx=data_idx,
+            frame_counter=frame_counter, symbol_cnt=symbol_cnt,
+            abs_symbol=abs_symbol, frame_start_sym=frame_start,
+            train_bad=train_bad, train_total=train_total,
+            freq_err=freq_err, signal_level=sig, frame_sym_cnt=frame_sym_cnt,
+            noise_floor=nf, nf_clk=nf_clk,
+        )
+        outputs = TrackerOutputs(
+            sym=y_eq, is_data=in_data, data_idx=out_data_idx,
+            frame_parity=st.frame_counter & 1,
+            emit=emit, emit_mode=emit_mode, emit_bitmask=emit_bitmask,
+            emit_parity=emit_parity, emit_freq_err=emit_freq_err,
+            emit_rssi=emit_rssi, emit_nf=emit_nf,
+            emit_train_bad=emit_train_bad, emit_train_total=emit_train_total,
+            emit_start_sym=emit_start,
+        )
+        return new_state, outputs
+
+    final, outs = jax.lax.scan(step, state, None, length=num_steps)
+    # rebase tau for the next block: caller prepends the last HALO samples
+    final = final._replace(tau=final.tau - (T - HALO))
+    return final, outs

@@ -1,0 +1,60 @@
+"""End-to-end round trips: modulator -> decoder chains."""
+
+import numpy as np
+import pytest
+
+from dumphfdl_tpu import constants as C
+from dumphfdl_tpu.dsp import backend, modulator
+from dumphfdl_tpu.dsp.channel import ChannelBank
+
+
+@pytest.mark.parametrize('mode', range(8))
+def test_backend_symbol_roundtrip(mode):
+    """Scrambled data symbols -> backend -> PDU bytes, all modes."""
+    rng = np.random.default_rng(10 + mode)
+    pdu = modulator.random_pdu(mode, rng)
+    syms = modulator.encode_pdu_to_data_symbols(pdu, mode)
+    out = backend.decode_frames(syms[None, :], np.array([False]), mode)[0]
+    assert out == pdu
+
+
+def test_backend_phase_flip_and_noise():
+    mode = 2  # QPSK single slot
+    rng = np.random.default_rng(42)
+    pdu = modulator.random_pdu(mode, rng)
+    syms = modulator.encode_pdu_to_data_symbols(pdu, mode)
+    # pi phase ambiguity (bitmask) plus mild AWGN
+    noisy = -syms + 0.05 * (rng.standard_normal(syms.shape)
+                            + 1j * rng.standard_normal(syms.shape))
+    out = backend.decode_frames(noisy[None, :], np.array([True]), mode)[0]
+    assert out == pdu
+
+
+def _run_channel(iq: np.ndarray, num_channels: int = 1,
+                 block_len: int = 5400) -> list:
+    bank = ChannelBank(num_channels)
+    events = []
+    n = len(iq)
+    for off in range(0, n, block_len):
+        chunk = iq[off:off + block_len]
+        if len(chunk) < block_len:
+            chunk = np.pad(chunk, (0, block_len - len(chunk)))
+        block = np.tile(chunk[None, :], (num_channels, 1))
+        events.extend(bank.process(block))
+    return events
+
+
+@pytest.mark.parametrize('mode', [1, 2])
+def test_channel_clean_decode(mode):
+    """Full demod chain on a clean synthesized frame at 5400 sps."""
+    rng = np.random.default_rng(77 + mode)
+    pdu = modulator.random_pdu(mode, rng)
+    syms = modulator.frame_symbols(pdu, mode)
+    iq = modulator.synthesize_iq(syms, pad_symbols=(300, 300))
+    events = _run_channel(iq * 0.5)
+    assert len(events) == 1, f'expected 1 frame, got {len(events)}'
+    ev = events[0]
+    assert ev.mode == mode
+    assert ev.pdu == pdu
+    # training bits should be nearly clean
+    assert ev.train_bad <= ev.train_total * 0.05
