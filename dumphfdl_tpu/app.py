@@ -1,0 +1,157 @@
+"""Application orchestration: input -> receiver -> protocol -> outputs.
+
+Equivalent of the reference's main-thread wiring and supervision
+(/root/reference/src/main.c:322-835), with the block graph replaced by
+the batched WidebandReceiver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import sys
+import threading
+import time as time_mod
+
+import numpy as np
+
+from . import constants as C
+from .dsp.channel import FrameEvent
+from .dsp.receiver import WidebandReceiver
+from .io import formats
+from .io.outputs import OutputManager
+from .protocol.pdu import PduMetadata, parse_pdu
+from .protocol.runtime import ProtocolContext
+
+
+def level_to_db(level: float) -> float:
+    return 20.0 * math.log10(max(level, 1e-12))
+
+
+@dataclasses.dataclass
+class AppConfig:
+    frequencies: list[int]              # Hz
+    sample_rate: int
+    centerfreq: int | None = None       # Hz; None -> auto midpoint
+    freq_offset: int = 0                # --freq-offset
+    read_buffer_size: int = 320_000     # bytes (input-file.c:15)
+    sample_format: str = 'CF32'
+    output_queue_hwm: int = 1000
+    nf_stats_interval: int = 10
+
+
+def compute_centerfreq(frequencies: list[int], sample_rate: int,
+                       centerfreq: int | None) -> int:
+    """main.c:214-239: auto centerfreq = midpoint; span check."""
+    fmin, fmax = min(frequencies), max(frequencies)
+    if fmax - fmin > sample_rate:
+        raise ValueError(
+            f'channel span {fmax - fmin} Hz exceeds sample rate {sample_rate}')
+    if centerfreq is None:
+        centerfreq = (fmin + fmax) // 2
+    return centerfreq
+
+
+class HfdlApp:
+    def __init__(self, cfg: AppConfig, ctx: ProtocolContext,
+                 outputs: OutputManager,
+                 statsd=None):
+        self.cfg = cfg
+        self.ctx = ctx
+        self.outputs = outputs
+        self.statsd = statsd
+        centerfreq = compute_centerfreq(cfg.frequencies, cfg.sample_rate,
+                                        cfg.centerfreq)
+        self.centerfreq = centerfreq + cfg.freq_offset
+        self.receiver = WidebandReceiver(cfg.sample_rate, self.centerfreq,
+                                         list(cfg.frequencies))
+        self.stream_epoch = time_mod.time()
+        self.frames_decoded = 0
+        self._stop = threading.Event()
+        self._nf_thread = None
+
+    # -- frame handling --
+
+    def _metadata_for(self, ev: FrameEvent) -> PduMetadata:
+        p = C.MODES[ev.mode]
+        ts = self.stream_epoch + max(ev.start_symbol, 0) / C.SYMBOL_RATE
+        return PduMetadata(
+            freq=self.cfg.frequencies[ev.channel],
+            freq_err_hz=ev.freq_err_hz,
+            rssi=level_to_db(ev.rssi),
+            noise_floor=level_to_db(ev.noise_floor),
+            bit_rate=p.bit_rate,
+            slot=p.slot,
+            rx_timestamp=ts,
+        )
+
+    def handle_events(self, events: list[FrameEvent]) -> None:
+        for ev in events:
+            if ev.pdu is None:
+                continue
+            meta = self._metadata_for(ev)
+            trees = parse_pdu(ev.pdu, meta, self.ctx)
+            self.frames_decoded += 1
+            if trees:
+                self.outputs.dispatch(meta, trees)
+
+    # -- main loops --
+
+    def run_file(self, path: str, sample_format: str | None = None) -> int:
+        """Offline decode of a raw I/Q file ('-' = stdin, input-file.c)."""
+        fmt = (sample_format or self.cfg.sample_format).upper()
+        bps = formats.bytes_per_sample(fmt)
+        chunk_bytes = self.cfg.read_buffer_size - (self.cfg.read_buffer_size % bps)
+        fh = sys.stdin.buffer if path == '-' else open(path, 'rb')
+        self._start_nf_stats()
+        try:
+            while not self._stop.is_set():
+                raw = fh.read(chunk_bytes)
+                if not raw:
+                    break
+                samples = formats.convert(raw, fmt)
+                self.handle_events(self.receiver.process(samples))
+            self.handle_events(self.receiver.flush())
+        finally:
+            if path != '-':
+                fh.close()
+            self._stop.set()
+        return 0
+
+    def run_stream(self, sample_iter) -> int:
+        """Decode an iterator of complex64 blocks (live sources)."""
+        self._start_nf_stats()
+        try:
+            for samples in sample_iter:
+                if self._stop.is_set():
+                    break
+                self.handle_events(self.receiver.process(samples))
+        finally:
+            self._stop.set()
+        return 0
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def shutdown(self) -> None:
+        self.outputs.shutdown()
+
+    # -- noise floor stats thread (hfdl.c:1082-1105) --
+
+    def _start_nf_stats(self) -> None:
+        if self.statsd is None or self.cfg.nf_stats_interval <= 0:
+            return
+
+        def loop():
+            while not self._stop.wait(self.cfg.nf_stats_interval):
+                nf = np.asarray(self.receiver.bank.tracker_state.noise_floor)
+                for i, freq in enumerate(self.cfg.frequencies):
+                    db = level_to_db(float(nf[i]))
+                    if db <= 0.0:
+                        # gauges are non-negative ints: tenths of -dBFS
+                        self.statsd.set_per_channel(
+                            freq, 'noise_floor', round(abs(db) * 10))
+
+        self._nf_thread = threading.Thread(target=loop, daemon=True,
+                                           name='nf-stats')
+        self._nf_thread.start()

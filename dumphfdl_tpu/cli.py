@@ -1,0 +1,186 @@
+"""Command-line interface.
+
+Flag surface mirrors the reference decoder (/root/reference/src/main.c:
+378-425) so existing deployments can switch without relearning options.
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+
+from . import __version__
+from .app import AppConfig, HfdlApp
+from .io.outputs import OutputManager, OutputSpec, parse_kvargs
+from .protocol.enrichment import AcCache, AcData, SysTable
+from .protocol.runtime import ProtocolContext, ProtocolOptions
+from .utils.statsd import StatsdClient
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog='dumphfdl-tpu',
+        description='TPU-native multichannel HFDL decoder',
+    )
+    p.add_argument('--version', action='version',
+                   version=f'dumphfdl-tpu {__version__}')
+    src = p.add_argument_group('input options')
+    src.add_argument('--iq-file', metavar='FILE',
+                     help="read I/Q samples from file ('-' = stdin)")
+    src.add_argument('--soapysdr', metavar='DEVICE',
+                     help='use a SoapySDR device (device string)')
+    src.add_argument('--sample-format', choices=['CU8', 'CS16', 'CF32'],
+                     type=str.upper, help='input sample format')
+    src.add_argument('--sample-rate', type=int, help='sampling rate in Hz')
+    src.add_argument('--centerfreq', type=float, default=None,
+                     help='center frequency in kHz (default: auto)')
+    src.add_argument('--freq-offset', type=float, default=0.0,
+                     help='frequency offset in kHz (e.g. upconverters)')
+    src.add_argument('--gain', type=float, default=None,
+                     help='overall end-to-end gain in dB (SoapySDR)')
+    src.add_argument('--gain-elements', metavar='K1=V1,...',
+                     help='per-element gains (SoapySDR)')
+    src.add_argument('--freq-correction', type=float, default=0.0,
+                     help='frequency correction in ppm (SoapySDR)')
+    src.add_argument('--antenna', help='antenna port name (SoapySDR)')
+    src.add_argument('--device-settings', metavar='K1=V1,...',
+                     help='device-specific settings (SoapySDR)')
+    src.add_argument('--read-buffer-size', type=int, default=320_000,
+                     help='file input buffer size in bytes')
+    src.add_argument('--fft-threads', type=int, default=4,
+                     help='accepted for compatibility (XLA manages threads)')
+
+    out = p.add_argument_group('output options')
+    out.add_argument('--output', action='append', default=[],
+                     metavar='SPEC', help='output spec: what:format:type:params')
+    out.add_argument('--output-queue-hwm', type=int, default=1000,
+                     help='output queue high-water mark (0 = unlimited)')
+    out.add_argument('--utc', action='store_true',
+                     help='timestamps in UTC')
+    out.add_argument('--milliseconds', action='store_true',
+                     help='millisecond timestamp resolution')
+    out.add_argument('--raw-frames', action='store_true',
+                     help='include raw frame hexdumps')
+    out.add_argument('--output-mpdus', action='store_true',
+                     help='emit MPDU-level log entries')
+    out.add_argument('--output-corrupted-pdus', action='store_true',
+                     help='emit PDUs that failed CRC checks')
+    out.add_argument('--freq-as-squawk', action='store_true',
+                     help='put channel freq (kHz) into basestation squawk')
+    out.add_argument('--station-id', help='station id added to output metadata')
+    out.add_argument('--prettify-json', action='store_true',
+                     help='pretty-print JSON output')
+
+    enr = p.add_argument_group('enrichment options')
+    enr.add_argument('--system-table', metavar='FILE',
+                     help='ground station table (libconfig format)')
+    enr.add_argument('--system-table-save', metavar='FILE',
+                     help='save OTA system table updates here')
+    enr.add_argument('--aircraft-cache-ttl', type=int, default=3600,
+                     help='aircraft cache TTL in seconds')
+    enr.add_argument('--bs-db', metavar='FILE',
+                     help='basestation SQLite aircraft database')
+    enr.add_argument('--ac-details', choices=['normal', 'verbose'],
+                     default='normal', help='aircraft info detail level')
+
+    obs = p.add_argument_group('observability')
+    obs.add_argument('--statsd', metavar='HOST:PORT',
+                     help='send statistics to a StatsD server')
+    obs.add_argument('--noise-floor-stats-interval', type=int, default=0,
+                     help='noise floor gauge reporting interval (seconds)')
+
+    p.add_argument('frequencies', nargs='*', type=float, metavar='FREQ',
+                   help='HFDL channel frequencies in kHz')
+    return p
+
+
+def build_app(args) -> HfdlApp:
+    if not args.frequencies:
+        raise SystemExit('error: no channel frequencies given')
+    if not args.sample_rate:
+        raise SystemExit('error: --sample-rate is required')
+    freqs_hz = [int(round(f * 1000)) for f in args.frequencies]
+
+    options = ProtocolOptions(
+        output_raw_frames=args.raw_frames,
+        output_mpdus=args.output_mpdus,
+        output_corrupted_pdus=args.output_corrupted_pdus,
+        utc=args.utc,
+        milliseconds=args.milliseconds,
+        freq_as_squawk=args.freq_as_squawk,
+        ac_data_details=args.ac_details,
+        station_id=args.station_id,
+    )
+    systable = SysTable(args.system_table, save_path=args.system_table_save)
+    ac_cache = AcCache(ttl=args.aircraft_cache_ttl)
+    ac_data = None
+    if args.bs_db:
+        try:
+            ac_data = AcData(args.bs_db)
+        except Exception as e:
+            print(f'bs-db: cannot open {args.bs_db}: {e}', file=sys.stderr)
+    statsd = None
+    if args.statsd:
+        statsd = StatsdClient(args.statsd, args.station_id)
+        statsd.initialize_counters(freqs_hz)
+    ctx = ProtocolContext(systable=systable, ac_cache=ac_cache,
+                          ac_data=ac_data, options=options)
+    if statsd is not None:
+        ctx.statsd = statsd
+
+    # HWM disabled for file input -> lossless offline decode (main.c:452)
+    hwm = 0 if args.iq_file else args.output_queue_hwm
+    outputs = OutputManager(ctx, hwm=hwm)
+    specs = args.output or ['decoded:text:file:path=-']
+    for spec in specs:
+        outputs.add_output(OutputSpec.parse(spec))
+
+    cfg = AppConfig(
+        frequencies=freqs_hz,
+        sample_rate=args.sample_rate,
+        centerfreq=int(round(args.centerfreq * 1000)) if args.centerfreq else None,
+        freq_offset=int(round(args.freq_offset * 1000)),
+        read_buffer_size=args.read_buffer_size,
+        sample_format=args.sample_format or 'CF32',
+        output_queue_hwm=hwm,
+        nf_stats_interval=args.noise_floor_stats_interval,
+    )
+    return HfdlApp(cfg, ctx, outputs, statsd=statsd)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    print(f'dumphfdl-tpu {__version__}', file=sys.stderr)
+    app = build_app(args)
+    signal.signal(signal.SIGINT, lambda *_: app.stop())
+    signal.signal(signal.SIGTERM, lambda *_: app.stop())
+    try:
+        if args.iq_file:
+            if not args.sample_format:
+                raise SystemExit('error: --sample-format is required with --iq-file')
+            rc = app.run_file(args.iq_file, args.sample_format)
+        elif args.soapysdr is not None:
+            from .io.soapy_input import SoapyInput
+            src = SoapyInput(
+                device=args.soapysdr,
+                sample_rate=args.sample_rate,
+                centerfreq=app.centerfreq,
+                gain=args.gain,
+                gain_elements=parse_kvargs(args.gain_elements or ''),
+                freq_correction=args.freq_correction,
+                antenna=args.antenna,
+                device_settings=parse_kvargs(args.device_settings or ''),
+                sample_format=args.sample_format,
+            )
+            rc = app.run_stream(src.stream())
+        else:
+            raise SystemExit('error: no input selected (--iq-file / --soapysdr)')
+    finally:
+        app.shutdown()
+    print(f'{app.frames_decoded} frames decoded', file=sys.stderr)
+    return rc
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -100,7 +100,6 @@ class FrameEvent(NamedTuple):
     pdu: bytes | None = None
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_frames(framebuf: jax.Array, outs: TrackerOutputs) -> jax.Array:
     """Scatter labeled data symbols into (C, 2, DATA_SYMBOLS_MAX) buffers."""
     t, c = outs.sym.shape
@@ -108,6 +107,33 @@ def _scatter_frames(framebuf: jax.Array, outs: TrackerOutputs) -> jax.Array:
     idx = jnp.where(outs.is_data, outs.data_idx, C.DATA_SYMBOLS_MAX)  # OOB -> drop
     return framebuf.at[ch.ravel(), outs.frame_parity.ravel(), idx.ravel()] \
         .set(outs.sym.ravel(), mode='drop')
+
+
+@functools.partial(jax.jit, static_argnames=('num_steps',),
+                   donate_argnums=(0, 1, 2, 3, 4))
+def channel_step(agc_state: AgcState,
+                 tracker_state: TrackerState,
+                 framebuf: jax.Array,
+                 tail: jax.Array,
+                 lvl_tail: jax.Array,
+                 x: jax.Array,
+                 num_steps: int):
+    """One fused device step: AGC -> MF -> tracker scan -> frame scatter.
+
+    This is the flagship forward step: everything from normalized samples
+    to labeled symbols and filled frame buffers in a single XLA program,
+    with all sequential state donated and carried across calls.
+    """
+    agc_state, y, level = agc_block(agc_state, x)
+    mf = matched_filter(y)
+    mf_ext = jnp.concatenate([tail, mf], axis=1)
+    lvl_ext = jnp.concatenate([lvl_tail, level], axis=1)
+    new_tail = mf_ext[:, -HALO:]
+    new_lvl_tail = lvl_ext[:, -HALO:]
+    tracker_state, outs = tracker_block(tracker_state, mf_ext, lvl_ext,
+                                        num_steps)
+    framebuf = _scatter_frames(framebuf, outs)
+    return agc_state, tracker_state, framebuf, new_tail, new_lvl_tail, outs
 
 
 @dataclasses.dataclass
@@ -131,17 +157,11 @@ class ChannelBank:
     def process(self, samples: np.ndarray) -> list[FrameEvent]:
         """Feed a (C, T) block at 5400 sps; returns completed frames."""
         x = jnp.asarray(samples, dtype=jnp.complex64)
-        self.agc_state, y, level = agc_block(self.agc_state, x)
-        mf = matched_filter(y)
-        mf_ext = jnp.concatenate([self._tail, mf], axis=1)
-        lvl_ext = jnp.concatenate([self._lvl_tail, level], axis=1)
-        self._tail = mf_ext[:, -HALO:]
-        self._lvl_tail = lvl_ext[:, -HALO:]
-        t_total = mf_ext.shape[1]
-        num_steps = int((t_total - 2 * HALO) * C.SYMSYNC_OUT_RATE // C.SPS)
-        self.tracker_state, outs = tracker_block(
-            self.tracker_state, mf_ext, lvl_ext, num_steps)
-        self.framebuf = _scatter_frames(self.framebuf, outs)
+        num_steps = int((x.shape[1] - HALO) * C.SYMSYNC_OUT_RATE // C.SPS)
+        (self.agc_state, self.tracker_state, self.framebuf,
+         self._tail, self._lvl_tail, outs) = channel_step(
+            self.agc_state, self.tracker_state, self.framebuf,
+            self._tail, self._lvl_tail, x, num_steps)
         return self._collect_events(outs)
 
     def _collect_events(self, outs: TrackerOutputs) -> list[FrameEvent]:

@@ -120,8 +120,10 @@ def plan_channel(geo: DdcGeometry, sample_rate: int, centerfreq: int,
     n = geo.fft_size
     b_f = -shift * n
     b = geo.v * int(round(b_f / geo.v))
-    db = b_f - b                       # residual, fft bins at fs
-    residual = -db * geo.decimation / n  # cycles per fs1 sample (down-shift)
+    # after the coarse shift by b bins the signal sits at (b_f - b) bins;
+    # the mixer multiplies by exp(-j*2*pi*residual*n) to remove it
+    db = b_f - b
+    residual = db * geo.decimation / n   # cycles per fs1 sample
     return ChannelPlan(frequency=frequency, shift_rate=shift,
                        coarse_bins=b, residual_cycles=residual)
 
@@ -187,7 +189,7 @@ class Channelizer:
 
         # streaming state
         self._in_tail = np.zeros(geo.overlap_length, dtype=np.complex64)
-        self._mixer_phase = np.zeros(self.num_channels, dtype=np.float64)
+        self._mixer_phase = jnp.zeros(self.num_channels, dtype=jnp.float32)
         self._fs1_ring = np.zeros((self.num_channels, 0), dtype=np.complex64)
         self._ring_global_start = 0    # global fs1-sample index of ring[0]
         self._out_count = 0            # total 5400-sps samples emitted
@@ -199,8 +201,12 @@ class Channelizer:
     # ---- device kernels ----
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _channelize_blocks(self, frames: jax.Array) -> jax.Array:
-        """(B, fft_size) time frames -> (C, B*post_input_size) fs1 samples."""
+    def _channelize_blocks(self, frames: jax.Array,
+                           phase0: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """(B, fft_size) time frames -> (C, B*post_input_size) fs1 samples.
+
+        Includes the per-channel residual mixer (phase-continuous across
+        blocks via phase0 carry)."""
         geo = self.geo
         spec = jnp.fft.fft(frames, axis=1)                     # (B, N)
         # per-channel coarse shift: gather bins (k + b) mod N, fold by decim
@@ -212,9 +218,17 @@ class Channelizer:
                                prod, jnp.asarray(self._coarse))
         folded = shifted.reshape(prod.shape[0], self.num_channels,
                                  geo.decimation, L).sum(axis=2)
-        time = jnp.fft.ifft(folded, axis=2)                    # (B, C, L)
+        # decimation-in-frequency fold needs 1/D (fastddc.c:194 norm)
+        time = jnp.fft.ifft(folded, axis=2) / geo.decimation   # (B, C, L)
         time = time[:, :, geo.scrap:]                          # scrap overlap
-        return time.transpose(1, 0, 2).reshape(self.num_channels, -1)
+        out = time.transpose(1, 0, 2).reshape(self.num_channels, -1)
+        # residual mixer (decimating_shift_addition equivalent, device-side)
+        n = out.shape[1]
+        residual = jnp.asarray(self._residual, jnp.float32)    # (C,)
+        ph = phase0[:, None] + residual[:, None] * jnp.arange(n)[None, :]
+        out = out * jnp.exp(-2j * jnp.pi * ph)
+        new_phase = jnp.mod(phase0 + residual * n, 1.0)
+        return out.astype(jnp.complex64), new_phase
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _resample(self, ring: jax.Array, offsets: jax.Array,
@@ -239,20 +253,13 @@ class Channelizer:
             frames = np.lib.stride_tricks.sliding_window_view(
                 buf[:used + geo.overlap_length], geo.fft_size)[::geo.input_size]
             self._in_tail = buf[used:]
-            out = np.asarray(self._channelize_blocks(jnp.asarray(frames)))
-            out = self._mix(out)
-            self._fs1_ring = np.concatenate([self._fs1_ring, out], axis=1)
+            out, self._mixer_phase = self._channelize_blocks(
+                jnp.asarray(frames), self._mixer_phase)
+            self._fs1_ring = np.concatenate(
+                [self._fs1_ring, np.asarray(out)], axis=1)
         else:
             self._in_tail = buf
         return self._drain_resampler()
-
-    def _mix(self, x: np.ndarray) -> np.ndarray:
-        """Residual per-channel downconversion with carried phase."""
-        n = x.shape[1]
-        ph = (self._mixer_phase[:, None]
-              + self._residual[:, None] * np.arange(n)[None, :])
-        self._mixer_phase = (self._mixer_phase + self._residual * n) % 1.0
-        return (x * np.exp(-2j * np.pi * ph)).astype(np.complex64)
 
     def _drain_resampler(self) -> np.ndarray:
         chunks = []

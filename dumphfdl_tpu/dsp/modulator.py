@@ -154,6 +154,60 @@ def _resample_poly(x: np.ndarray, up: int, down: int) -> np.ndarray:
     return y[::down].astype(np.complex64)
 
 
+def make_test_mpdu(mode: int, rng: np.random.Generator,
+                   src_ac: int = 0x42, dst_gs: int = 0x05,
+                   icao: int = 0x4007F5) -> bytes:
+    """A protocol-valid downlink MPDU (logon request) padded to the frame's
+    PDU size -- for golden-file decode tests through the full stack."""
+    from ..ops import crc as crc_mod
+    from ..ops import bits as bitops_mod
+    p = C.MODES[mode]
+    icao_rev = bytes(bitops_mod.reverse_bytes(
+        np.frombuffer(icao.to_bytes(3, 'big'), np.uint8)))
+    lpdu = crc_mod.fcs_append(bytes([0x8F]) + icao_rev)
+    hdr = bytes([0x3 | (1 << 2), dst_gs, src_ac, 0, 0, 0, len(lpdu) - 1])
+    payload = crc_mod.fcs_append(hdr) + lpdu
+    if len(payload) > p.pdu_len_octets:
+        raise ValueError('payload too large for mode')
+    pdu = payload + bytes(p.pdu_len_octets - len(payload))
+    # zero flush bits are guaranteed by the zero padding
+    return pdu
+
+
+def synthesize_wideband(emissions: list[tuple[bytes, int, int]],
+                        fs: int, centerfreq: int,
+                        snr_db: float | None = 30.0,
+                        amplitude: float = 0.25,
+                        pad_symbols: int = 300,
+                        seed: int = 0) -> np.ndarray:
+    """Synthesize a wideband capture with one frame per (pdu, mode, freq_hz).
+
+    Each emission is upconverted to its channel's SSB carrier offset from
+    centerfreq; AWGN at snr_db (None = clean) covers the whole capture.
+    """
+    sigs = []
+    for pdu, mode, chan in emissions:
+        syms = frame_symbols(pdu, mode)
+        iq = synthesize_iq(syms, pad_symbols=(pad_symbols, pad_symbols))
+        sigs.append((iq, chan))
+    n_max = max(len(s[0]) for s in sigs)
+    n_wb = int(np.ceil(n_max * fs / C.INTERNAL_RATE)) + fs // 10
+    wb = np.zeros(n_wb, dtype=np.complex64)
+    for iq, chan in sigs:
+        up = _resample_poly(iq, fs, C.INTERNAL_RATE)
+        f_off = (chan + C.SSB_CARRIER_OFFSET_HZ) - centerfreq
+        n = np.arange(len(up))
+        wb[:len(up)] += (up * np.exp(2j * np.pi * f_off / fs * n)
+                         ).astype(np.complex64) * amplitude
+    if snr_db is not None:
+        rng = np.random.default_rng(seed)
+        es = amplitude ** 2 * 0.5 * (C.SPS / (fs / C.INTERNAL_RATE)) / C.SPS
+        n0 = es / (10 ** (snr_db / 10))
+        noise = (rng.standard_normal(n_wb) + 1j * rng.standard_normal(n_wb))
+        wb = wb + noise.astype(np.complex64) * np.sqrt(n0 / 2)
+    return wb.astype(np.complex64)
+
+
 def synthesize_channel_iq(frames: list[tuple[np.ndarray, int]],
                           fs: float,
                           channel_offset_hz: float = 0.0,

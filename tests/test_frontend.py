@@ -66,8 +66,10 @@ def test_tone_rejected_out_of_band():
 
 def test_sample_format_roundtrip():
     rng = np.random.default_rng(0)
-    x = (rng.standard_normal(1000) + 1j * rng.standard_normal(1000)) \
-        .astype(np.complex64) * 0.3
+    # NB: the reference CU8 convention ((byte-63.5)/127, input-helpers.c:72-76)
+    # represents only +-0.5 full scale; stay well inside it
+    x = np.clip((rng.standard_normal(1000) + 1j * rng.standard_normal(1000)),
+                -3.0, 3.0).astype(np.complex64) * 0.12
     for fmt in formats.SAMPLE_FORMATS:
         raw = formats.serialize(x, fmt)
         back = formats.convert(raw, fmt)
