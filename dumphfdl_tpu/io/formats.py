@@ -23,16 +23,25 @@ def full_scale(fmt: str) -> float:
 
 
 def convert(raw: bytes | np.ndarray, fmt: str) -> np.ndarray:
-    """Raw bytes -> normalized complex64 samples."""
+    """Raw bytes -> normalized complex64 samples.
+
+    Uses the native C++ converters (io/native.py) when available."""
+    from . import native
     fmt = fmt.upper()
     if isinstance(raw, (bytes, bytearray, memoryview)):
         raw = np.frombuffer(raw, dtype=np.uint8)
     raw = raw[:len(raw) - len(raw) % _BYTES_PER_SAMPLE[fmt]]
     if fmt == 'CU8':
+        out = native.convert_cu8(raw)
+        if out is not None:
+            return out
         v = raw.astype(np.float32)
         iq = (v - 127.0 / 2.0) / 127.0
         return (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
     if fmt == 'CS16':
+        out = native.convert_cs16(raw)
+        if out is not None:
+            return out
         v = raw.view(np.int16).astype(np.float32) / 32767.5
         return (v[0::2] + 1j * v[1::2]).astype(np.complex64)
     if fmt == 'CF32':
