@@ -22,6 +22,7 @@ from .io import formats
 from .io.outputs import OutputManager
 from .protocol.pdu import PduMetadata, parse_pdu
 from .protocol.runtime import ProtocolContext
+from .utils.xfer import device_get
 
 
 def level_to_db(level: float) -> float:
@@ -85,7 +86,24 @@ class HfdlApp:
             rx_timestamp=ts,
         )
 
+    def publish_demod_counters(self) -> None:
+        """Push per-channel preamble counters to StatsD (statsd.c:17-49)."""
+        if self.statsd is None:
+            return
+        counters = getattr(self.receiver.bank, 'last_counters', None)
+        if counters is None:
+            return
+        c = device_get(counters)
+        names = ('demod.preamble.A2_found', 'demod.preamble.M1_found',
+                 'demod.preamble.errors.M1_not_found')
+        for i, freq in enumerate(self.cfg.frequencies):
+            for j, name in enumerate(names):
+                n = int(c[i, j])
+                for _ in range(n):
+                    self.statsd.increment_per_channel(freq, name)
+
     def handle_events(self, events: list[FrameEvent]) -> None:
+        self.publish_demod_counters()
         for ev in events:
             if ev.pdu is None:
                 continue
@@ -144,7 +162,7 @@ class HfdlApp:
 
         def loop():
             while not self._stop.wait(self.cfg.nf_stats_interval):
-                nf = np.asarray(self.receiver.bank.tracker_state.noise_floor)
+                nf = device_get(self.receiver.bank.tracker_state.noise_floor)
                 for i, freq in enumerate(self.cfg.frequencies):
                     db = level_to_db(float(nf[i]))
                     if db <= 0.0:

@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help='send statistics to a StatsD server')
     obs.add_argument('--noise-floor-stats-interval', type=int, default=0,
                      help='noise floor gauge reporting interval (seconds)')
+    obs.add_argument('--debug', metavar='CLASS1,CLASS2,...', default='',
+                     help='enable debug logging classes (sdr,dsp,frame,'
+                          'proto,stats,cache,output,misc,all)')
+    obs.add_argument('--datadumps', action='store_true',
+                     help='dump per-stage DSP signals to rf32/cf32 files')
 
     p.add_argument('frequencies', nargs='*', type=float, metavar='FREQ',
                    help='HFDL channel frequencies in kHz')
@@ -111,6 +116,7 @@ def build_app(args) -> HfdlApp:
         freq_as_squawk=args.freq_as_squawk,
         ac_data_details=args.ac_details,
         station_id=args.station_id,
+        prettify_json=args.prettify_json,
     )
     systable = SysTable(args.system_table, save_path=args.system_table_save)
     ac_cache = AcCache(ttl=args.aircraft_cache_ttl)
@@ -146,7 +152,14 @@ def build_app(args) -> HfdlApp:
         output_queue_hwm=hwm,
         nf_stats_interval=args.noise_floor_stats_interval,
     )
-    return HfdlApp(cfg, ctx, outputs, statsd=statsd)
+    app = HfdlApp(cfg, ctx, outputs, statsd=statsd)
+    if args.debug:
+        from .utils import debug
+        debug.set_classes(args.debug)
+    if args.datadumps:
+        from .dsp.dumpfile import DumpSet
+        app.receiver.bank.dumps = DumpSet()
+    return app
 
 
 def main(argv: list[str] | None = None) -> int:

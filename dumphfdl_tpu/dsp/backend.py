@@ -69,6 +69,7 @@ def pdu_bytes_from_bits(bits: np.ndarray) -> list[bytes]:
 
 def decode_frames(data_symbols: np.ndarray, bitmask: np.ndarray, mode: int) -> list[bytes]:
     """Convenience host wrapper: symbols -> PDU octet strings."""
+    from ..utils.xfer import device_get
     bits = decode_frame_batch(jnp.asarray(data_symbols),
                               jnp.asarray(bitmask), mode)
-    return pdu_bytes_from_bits(np.asarray(bits))
+    return pdu_bytes_from_bits(device_get(bits))

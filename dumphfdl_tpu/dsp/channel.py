@@ -26,6 +26,7 @@ import numpy as np
 from .. import constants as C
 from . import backend
 from .tracker import HALO, TrackerOutputs, TrackerState, tracker_block, tracker_init
+from ..utils.xfer import device_get
 
 
 class AgcState(NamedTuple):
@@ -133,7 +134,14 @@ def channel_step(agc_state: AgcState,
     tracker_state, outs = tracker_block(tracker_state, mf_ext, lvl_ext,
                                         num_steps)
     framebuf = _scatter_frames(framebuf, outs)
-    return agc_state, tracker_state, framebuf, new_tail, new_lvl_tail, outs
+    # per-channel statsd counter deltas for this block (A2/M1/M1-miss)
+    counters = jnp.stack([
+        jnp.sum(outs.a2_found, axis=0, dtype=jnp.int32),
+        jnp.sum(outs.m1_found, axis=0, dtype=jnp.int32),
+        jnp.sum(outs.m1_miss, axis=0, dtype=jnp.int32),
+    ], axis=1)                                           # (C, 3)
+    return (agc_state, tracker_state, framebuf, new_tail, new_lvl_tail,
+            outs, counters)
 
 
 @dataclasses.dataclass
@@ -145,6 +153,8 @@ class ChannelBank:
     framebuf: jax.Array = None
     _tail: jax.Array = None        # (C, HALO) input halo (post-MF domain inputs)
     _lvl_tail: jax.Array = None
+
+    dumps: object = None        # optional dumpfile.DumpSet for --datadumps
 
     def __post_init__(self):
         c = self.num_channels
@@ -158,34 +168,56 @@ class ChannelBank:
         """Feed a (C, T) block at 5400 sps; returns completed frames."""
         x = jnp.asarray(samples, dtype=jnp.complex64)
         num_steps = int((x.shape[1] - HALO) * C.SYMSYNC_OUT_RATE // C.SPS)
+        if self.dumps is not None:       # --datadumps debug taps
+            self.dumps.write('chan_out', device_get(x))
+            _, y_dbg, lvl_dbg = agc_block(self.agc_state, x)
+            self.dumps.write('agc_out', device_get(y_dbg))
+            self.dumps.write('agc_level', device_get(lvl_dbg))
+            self.dumps.write('mf_out', device_get(matched_filter(y_dbg)))
         (self.agc_state, self.tracker_state, self.framebuf,
-         self._tail, self._lvl_tail, outs) = channel_step(
+         self._tail, self._lvl_tail, outs, counters) = channel_step(
             self.agc_state, self.tracker_state, self.framebuf,
             self._tail, self._lvl_tail, x, num_steps)
+        self.last_counters = counters    # (C, 3): A2, M1, M1-miss deltas
+        if self.dumps is not None:
+            sym = device_get(outs.sym).T          # (C, T_out)
+            self.dumps.write('sym_out', sym)
+            isd = device_get(outs.is_data).T
+            self.dumps.write('const', np.where(isd, sym, np.nan + 0j))
         return self._collect_events(outs)
 
     def _collect_events(self, outs: TrackerOutputs) -> list[FrameEvent]:
-        emit = np.asarray(outs.emit)
+        emit = device_get(outs.emit)
         if not emit.any():
             return []
         events: list[FrameEvent] = []
-        framebuf = np.asarray(self.framebuf)
+        framebuf = device_get(self.framebuf)
         steps, chans = np.nonzero(emit)
+        # one transfer per field (frames are rare; fields are small)
+        f_mode = device_get(outs.emit_mode)
+        f_parity = device_get(outs.emit_parity)
+        f_bitmask = device_get(outs.emit_bitmask)
+        f_freq_err = device_get(outs.emit_freq_err)
+        f_rssi = device_get(outs.emit_rssi)
+        f_nf = device_get(outs.emit_nf)
+        f_tb = device_get(outs.emit_train_bad)
+        f_tt = device_get(outs.emit_train_total)
+        f_start = device_get(outs.emit_start_sym)
         # group frames by mode for batched backend decode
         per_mode: dict[int, list[tuple[int, np.ndarray, bool]]] = {}
         for s, ch in zip(steps, chans):
-            mode = int(np.asarray(outs.emit_mode)[s, ch])
-            parity = int(np.asarray(outs.emit_parity)[s, ch])
+            mode = int(f_mode[s, ch])
+            parity = int(f_parity[s, ch])
             nsym = C.MODES[mode].num_data_symbols
             ev = FrameEvent(
                 channel=int(ch), mode=mode,
-                bitmask=bool(np.asarray(outs.emit_bitmask)[s, ch]),
-                freq_err_hz=float(np.asarray(outs.emit_freq_err)[s, ch]),
-                rssi=float(np.asarray(outs.emit_rssi)[s, ch]),
-                noise_floor=float(np.asarray(outs.emit_nf)[s, ch]),
-                train_bad=int(np.asarray(outs.emit_train_bad)[s, ch]),
-                train_total=int(np.asarray(outs.emit_train_total)[s, ch]),
-                start_symbol=int(np.asarray(outs.emit_start_sym)[s, ch]),
+                bitmask=bool(f_bitmask[s, ch]),
+                freq_err_hz=float(f_freq_err[s, ch]),
+                rssi=float(f_rssi[s, ch]),
+                noise_floor=float(f_nf[s, ch]),
+                train_bad=int(f_tb[s, ch]),
+                train_total=int(f_tt[s, ch]),
+                start_symbol=int(f_start[s, ch]),
             )
             per_mode.setdefault(mode, []).append(
                 (len(events), framebuf[ch, parity, :nsym], ev.bitmask))

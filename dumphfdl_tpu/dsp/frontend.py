@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+from ..utils.xfer import device_get
 
 
 def next_pow2(x: int) -> int:
@@ -256,7 +257,7 @@ class Channelizer:
             out, self._mixer_phase = self._channelize_blocks(
                 jnp.asarray(frames), self._mixer_phase)
             self._fs1_ring = np.concatenate(
-                [self._fs1_ring, np.asarray(out)], axis=1)
+                [self._fs1_ring, device_get(out)], axis=1)
         else:
             self._in_tail = buf
         return self._drain_resampler()
@@ -283,7 +284,7 @@ class Channelizer:
             out = self._resample(jnp.asarray(self._fs1_ring),
                                  jnp.asarray(offsets), jnp.asarray(phases),
                                  self.out_chunk)
-            chunks.append(np.asarray(out))
+            chunks.append(device_get(out))
             self._out_count += self.out_chunk
             # trim ring
             keep_from = int(np.floor(self._out_count * self.ratio)) - k

@@ -126,6 +126,9 @@ class TrackerOutputs(NamedTuple):
     emit_train_bad: jax.Array   # i32
     emit_train_total: jax.Array  # i32
     emit_start_sym: jax.Array   # i32 absolute symbol index of frame start
+    a2_found: jax.Array         # bool (statsd demod.preamble.A2_found)
+    m1_found: jax.Array         # bool
+    m1_miss: jax.Array          # bool (demod.preamble.errors.M1_not_found)
 
 
 def _init_eq_taps() -> np.ndarray:
@@ -472,6 +475,7 @@ def tracker_block(state: TrackerState,
             emit_rssi=emit_rssi, emit_nf=emit_nf,
             emit_train_bad=emit_train_bad, emit_train_total=emit_train_total,
             emit_start_sym=emit_start,
+            a2_found=a2_hit, m1_found=m1_hit, m1_miss=m1_fail,
         )
         return new_state, outputs
 

@@ -72,6 +72,9 @@ class JsonFormatter:
             'slot': meta.slot,
         })
         obj[tree.json_key] = tree.to_json()
+        if getattr(self.ctx.options, 'prettify_json', False):
+            return json.dumps({'hfdl': obj}, indent=1,
+                              ensure_ascii=False) + '\n'
         return json.dumps({'hfdl': obj}, separators=(',', ':'),
                           ensure_ascii=False) + '\n'
 

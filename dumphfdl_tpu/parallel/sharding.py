@@ -106,7 +106,8 @@ def sharded_decode_step(mesh: Mesh, cfg: ShardedDecodeConfig):
         # --- 4. fused demod step on the narrowband block
         nb_block = jax.lax.dynamic_slice(
             nb, (0, 0), (nb.shape[0], cfg.demod_block))
-        agc_state, trk_state, framebuf, tail, lvl_tail, outs = channel_step(
+        (agc_state, trk_state, framebuf, tail, lvl_tail, outs,
+         _counters) = channel_step(
             agc_state, trk_state, framebuf, tail, lvl_tail, nb_block,
             cfg.num_steps)
         # --- 5. cross-chip reduction: wideband power psum'd over 'chan'

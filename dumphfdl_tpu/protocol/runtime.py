@@ -34,6 +34,7 @@ class ProtocolOptions:
     milliseconds: bool = False
     freq_as_squawk: bool = False
     ac_data_details: str = 'normal'     # 'normal' | 'verbose'
+    prettify_json: bool = False
     station_id: str | None = None
 
 
