@@ -45,7 +45,8 @@ def decode_frame_batch(data_symbols: jax.Array,
     """
     p = C.MODES[mode]
     scr = jnp.asarray(seq.bipolar(seq.scrambler_for_symbols(p.num_data_symbols)))
-    flip = jnp.where(jnp.asarray(bitmask).astype(bool), -1.0, 1.0)[:, None]
+    flip = jnp.where(jnp.asarray(bitmask).reshape(-1).astype(bool),
+                     -1.0, 1.0)[:, None]
     syms = data_symbols * scr[None, :] * flip
     soft = psk.soft_demodulate(syms, p.arity)            # (B, S, arity) uint8
     soft = soft.reshape(syms.shape[0], p.num_encoded_bits)
@@ -70,6 +71,7 @@ def pdu_bytes_from_bits(bits: np.ndarray) -> list[bytes]:
 def decode_frames(data_symbols: np.ndarray, bitmask: np.ndarray, mode: int) -> list[bytes]:
     """Convenience host wrapper: symbols -> PDU octet strings."""
     from ..utils.xfer import device_get
-    bits = decode_frame_batch(jnp.asarray(data_symbols),
-                              jnp.asarray(bitmask), mode)
+    bits = decode_frame_batch(
+        jnp.asarray(data_symbols),
+        jnp.asarray(np.asarray(bitmask).reshape(-1, 1)), mode)
     return pdu_bytes_from_bits(device_get(bits))

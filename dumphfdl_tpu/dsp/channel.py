@@ -110,6 +110,54 @@ def _scatter_frames(framebuf: jax.Array, outs: TrackerOutputs) -> jax.Array:
         .set(outs.sym.ravel(), mode='drop')
 
 
+# completed-frame event slots per channel per block; a block must be short
+# enough that no channel finishes more than this many frames in it
+K_EVENTS = 2
+_EV_FIELDS = 10   # valid, mode, bitmask, parity, freq_err, rssi, nf,
+                  # train_bad, train_total, start_sym
+
+
+def _compact_events(outs: TrackerOutputs) -> jax.Array:
+    """Compact sparse (T, C) frame events into a dense (C, K, F) f32 table.
+
+    Device-side compaction keeps the per-block host transfer to one small
+    2-D float32 array regardless of block length."""
+    t, c = outs.emit.shape
+    ch = jnp.broadcast_to(jnp.arange(c)[None, :], (t, c))
+    slot = jnp.cumsum(outs.emit.astype(jnp.int32), axis=0) - 1
+    slot = jnp.where(outs.emit, jnp.minimum(slot, K_EVENTS), K_EVENTS)  # OOB -> drop
+    fields = jnp.stack([
+        jnp.ones_like(outs.emit_freq_err),
+        outs.emit_mode.astype(jnp.float32),
+        outs.emit_bitmask.astype(jnp.float32),
+        outs.emit_parity.astype(jnp.float32),
+        outs.emit_freq_err,
+        outs.emit_rssi,
+        outs.emit_nf,
+        outs.emit_train_bad.astype(jnp.float32),
+        outs.emit_train_total.astype(jnp.float32),
+        outs.emit_start_sym.astype(jnp.float32),
+    ], axis=-1)                                          # (T, C, F)
+    table = jnp.zeros((c, K_EVENTS + 1, _EV_FIELDS), jnp.float32)
+    table = table.at[ch.ravel(), slot.ravel()].set(
+        fields.reshape(-1, _EV_FIELDS), mode='drop')
+    return table[:, :K_EVENTS].reshape(c, K_EVENTS * _EV_FIELDS)
+
+
+_GATHER_BATCH = 4
+
+
+@jax.jit
+def _gather_frames(framebuf: jax.Array, ch: jax.Array,
+                   parity: jax.Array) -> jax.Array:
+    """Gather selected frames; ch/parity are (B, 1) int32 (2-D so the
+    host->device transfer works on restricted backends).  Returns
+    (B, DATA_SYMBOLS_MAX*2) f32 (interleaved re/im)."""
+    sel = framebuf[ch[:, 0], parity[:, 0]]             # (B, S) complex
+    return jnp.stack([jnp.real(sel), jnp.imag(sel)], axis=-1) \
+        .astype(jnp.float32).reshape(sel.shape[0], -1)
+
+
 @functools.partial(jax.jit, static_argnames=('num_steps',),
                    donate_argnums=(0, 1, 2, 3, 4))
 def channel_step(agc_state: AgcState,
@@ -134,14 +182,15 @@ def channel_step(agc_state: AgcState,
     tracker_state, outs = tracker_block(tracker_state, mf_ext, lvl_ext,
                                         num_steps)
     framebuf = _scatter_frames(framebuf, outs)
+    ev_table = _compact_events(outs)                     # (C, K*F) f32
     # per-channel statsd counter deltas for this block (A2/M1/M1-miss)
     counters = jnp.stack([
-        jnp.sum(outs.a2_found, axis=0, dtype=jnp.int32),
-        jnp.sum(outs.m1_found, axis=0, dtype=jnp.int32),
-        jnp.sum(outs.m1_miss, axis=0, dtype=jnp.int32),
-    ], axis=1)                                           # (C, 3)
+        jnp.sum(outs.a2_found, axis=0, dtype=jnp.float32),
+        jnp.sum(outs.m1_found, axis=0, dtype=jnp.float32),
+        jnp.sum(outs.m1_miss, axis=0, dtype=jnp.float32),
+    ], axis=1)                                           # (C, 3) f32
     return (agc_state, tracker_state, framebuf, new_tail, new_lvl_tail,
-            outs, counters)
+            outs, ev_table, counters)
 
 
 @dataclasses.dataclass
@@ -175,7 +224,7 @@ class ChannelBank:
             self.dumps.write('agc_level', device_get(lvl_dbg))
             self.dumps.write('mf_out', device_get(matched_filter(y_dbg)))
         (self.agc_state, self.tracker_state, self.framebuf,
-         self._tail, self._lvl_tail, outs, counters) = channel_step(
+         self._tail, self._lvl_tail, outs, ev_table, counters) = channel_step(
             self.agc_state, self.tracker_state, self.framebuf,
             self._tail, self._lvl_tail, x, num_steps)
         self.last_counters = counters    # (C, 3): A2, M1, M1-miss deltas
@@ -184,48 +233,58 @@ class ChannelBank:
             self.dumps.write('sym_out', sym)
             isd = device_get(outs.is_data).T
             self.dumps.write('const', np.where(isd, sym, np.nan + 0j))
-        return self._collect_events(outs)
+        return self._collect_events(ev_table)
 
-    def _collect_events(self, outs: TrackerOutputs) -> list[FrameEvent]:
-        emit = device_get(outs.emit)
-        if not emit.any():
+    def _collect_events(self, ev_table) -> list[FrameEvent]:
+        """Decode completed frames from the compacted event table.
+
+        One small (C, K*F) float32 transfer per block; frame symbol data
+        is gathered on-device in fixed-size batches only when events
+        actually completed."""
+        table = device_get(ev_table).reshape(self.num_channels,
+                                             K_EVENTS, _EV_FIELDS)
+        valid = table[:, :, 0] > 0.5
+        if not valid.any():
             return []
+        chans, slots = np.nonzero(valid)
         events: list[FrameEvent] = []
-        framebuf = device_get(self.framebuf)
-        steps, chans = np.nonzero(emit)
-        # one transfer per field (frames are rare; fields are small)
-        f_mode = device_get(outs.emit_mode)
-        f_parity = device_get(outs.emit_parity)
-        f_bitmask = device_get(outs.emit_bitmask)
-        f_freq_err = device_get(outs.emit_freq_err)
-        f_rssi = device_get(outs.emit_rssi)
-        f_nf = device_get(outs.emit_nf)
-        f_tb = device_get(outs.emit_train_bad)
-        f_tt = device_get(outs.emit_train_total)
-        f_start = device_get(outs.emit_start_sym)
-        # group frames by mode for batched backend decode
-        per_mode: dict[int, list[tuple[int, np.ndarray, bool]]] = {}
-        for s, ch in zip(steps, chans):
-            mode = int(f_mode[s, ch])
-            parity = int(f_parity[s, ch])
+        gather_ch, gather_parity = [], []
+        for ch, sl in zip(chans, slots):
+            f = table[ch, sl]
+            events.append(FrameEvent(
+                channel=int(ch), mode=int(f[1]),
+                bitmask=bool(f[2] > 0.5),
+                freq_err_hz=float(f[4]),
+                rssi=float(f[5]),
+                noise_floor=float(f[6]),
+                train_bad=int(f[7]),
+                train_total=int(f[8]),
+                start_symbol=int(f[9]),
+            ))
+            gather_ch.append(int(ch))
+            gather_parity.append(int(f[3]))
+        # gather frame symbols on-device in a fixed-size padded batch
+        batch = _GATHER_BATCH
+        frames = np.zeros((len(events), C.DATA_SYMBOLS_MAX), np.complex64)
+        for off in range(0, len(events), batch):
+            ch_pad = (gather_ch[off:off + batch] + [0] * batch)[:batch]
+            pa_pad = (gather_parity[off:off + batch] + [0] * batch)[:batch]
+            flat = device_get(_gather_frames(
+                self.framebuf,
+                jnp.asarray(np.asarray(ch_pad, np.int32).reshape(batch, 1)),
+                jnp.asarray(np.asarray(pa_pad, np.int32).reshape(batch, 1))))
+            ri = flat.reshape(batch, C.DATA_SYMBOLS_MAX, 2)
+            n = min(batch, len(events) - off)
+            frames[off:off + n] = ri[:n, :, 0] + 1j * ri[:n, :, 1]
+        # group by mode for batched backend decode
+        per_mode: dict[int, list[int]] = {}
+        for i, ev in enumerate(events):
+            per_mode.setdefault(ev.mode, []).append(i)
+        for mode, idxs in per_mode.items():
             nsym = C.MODES[mode].num_data_symbols
-            ev = FrameEvent(
-                channel=int(ch), mode=mode,
-                bitmask=bool(f_bitmask[s, ch]),
-                freq_err_hz=float(f_freq_err[s, ch]),
-                rssi=float(f_rssi[s, ch]),
-                noise_floor=float(f_nf[s, ch]),
-                train_bad=int(f_tb[s, ch]),
-                train_total=int(f_tt[s, ch]),
-                start_symbol=int(f_start[s, ch]),
-            )
-            per_mode.setdefault(mode, []).append(
-                (len(events), framebuf[ch, parity, :nsym], ev.bitmask))
-            events.append(ev)
-        for mode, items in per_mode.items():
-            syms = np.stack([it[1] for it in items])
-            masks = np.asarray([it[2] for it in items])
+            syms = np.stack([frames[i][:nsym] for i in idxs])
+            masks = np.asarray([events[i].bitmask for i in idxs])
             pdus = backend.decode_frames(syms, masks, mode)
-            for (evi, _, _), pdu in zip(items, pdus):
-                events[evi] = events[evi]._replace(pdu=pdu)
+            for i, pdu in zip(idxs, pdus):
+                events[i] = events[i]._replace(pdu=pdu)
         return events

@@ -234,11 +234,14 @@ class Channelizer:
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _resample(self, ring: jax.Array, offsets: jax.Array,
                   phases: jax.Array, n_out: int) -> jax.Array:
-        """Gather-interpolate n_out samples at positions offsets (shared)."""
+        """Gather-interpolate n_out samples at positions offsets (shared).
+
+        offsets/phases arrive as (n_out, 1) int32 (2-D so host->device
+        transfers work on restricted backends)."""
         k = self._rs_taps
-        win_idx = offsets[:, None] + jnp.arange(k)[None, :]    # (n_out, K)
+        win_idx = offsets + jnp.arange(k)[None, :]             # (n_out, K)
         wins = ring[:, win_idx]                                # (C, n_out, K)
-        taps = self._bank[phases]                              # (n_out, K)
+        taps = self._bank[phases[:, 0]]                        # (n_out, K)
         return jnp.einsum('cok,ok->co', wins, taps)
 
     # ---- streaming API ----
@@ -281,9 +284,11 @@ class Channelizer:
                 # should not happen (ring trimmed conservatively)
                 offsets = np.maximum(offsets, 0)
             phases = np.round(frac * 64).astype(np.int32)
-            out = self._resample(jnp.asarray(self._fs1_ring),
-                                 jnp.asarray(offsets), jnp.asarray(phases),
-                                 self.out_chunk)
+            out = self._resample(
+                jnp.asarray(self._fs1_ring),
+                jnp.asarray(offsets.astype(np.int32).reshape(-1, 1)),
+                jnp.asarray(phases.reshape(-1, 1)),
+                self.out_chunk)
             chunks.append(device_get(out))
             self._out_count += self.out_chunk
             # trim ring

@@ -402,7 +402,8 @@ def tracker_block(state: TrackerState,
         to_data = eqt & (eq_cnt <= 1) & (segs_left > 0)
         frame_done = eqt & (eq_cnt <= 1) & (segs_left <= 0)
         eq_cnt = set_where(more_train, eq_cnt - 1, eq_cnt)
-        sw = set_where(more_train | to_data, C.T_LEN * 0 + jnp.where(to_data, C.DATA_FRAME_LEN // 2, C.T_LEN), sw)
+        sw = set_where(more_train, C.T_LEN, sw)
+        sw = set_where(to_data, C.DATA_FRAME_LEN // 2, sw)
         t_idx = set_where(more_train, 0, t_idx)
         cur_arity = set_where(to_data, data_arity, cur_arity)
 

@@ -107,7 +107,7 @@ def sharded_decode_step(mesh: Mesh, cfg: ShardedDecodeConfig):
         nb_block = jax.lax.dynamic_slice(
             nb, (0, 0), (nb.shape[0], cfg.demod_block))
         (agc_state, trk_state, framebuf, tail, lvl_tail, outs,
-         _counters) = channel_step(
+         _ev_table, _counters) = channel_step(
             agc_state, trk_state, framebuf, tail, lvl_tail, nb_block,
             cfg.num_steps)
         # --- 5. cross-chip reduction: wideband power psum'd over 'chan'

@@ -1,10 +1,12 @@
 """Transfer-safe device->host conversion.
 
-Some PJRT backends (notably the axon TPU tunnel) implement complex64
-*compute* but not complex64 (or sub-32-bit) device->host transfers.
-``device_get`` probes the backend once and, when needed, routes complex
-arrays through a jitted split into stacked float32 and narrow ints
-through int32, which always transfer.
+Some PJRT backends (notably the axon TPU tunnel) implement only a subset
+of device->host transfers: 2-D float32/int32/bool/int8 arrays work, but
+complex64 and rank-1 arrays raise UNIMPLEMENTED.  ``device_get`` first
+tries the native path; on failure it canonicalizes on device -- complex
+split into trailing (re, im) float32, everything reshaped to (1, N) --
+transfers that, and reassembles on the host.  The failure is remembered
+so later calls skip the doomed native attempt.
 """
 
 from __future__ import annotations
@@ -15,43 +17,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-@functools.cache
-def _native_transfer_ok(kind: str) -> bool:
-    """kind in {'complex', 'narrow'}; probe once per process."""
-    try:
-        if kind == 'complex':
-            np.asarray(jnp.zeros((1,), jnp.complex64) + 0)
-        else:
-            np.asarray(jnp.zeros((1,), jnp.int8) + 0)
-        return True
-    except Exception:
-        return False
+_native_broken = False
 
 
-@jax.jit
-def _split_complex(x):
-    return jnp.stack([jnp.real(x), jnp.imag(x)], axis=0).astype(jnp.float32)
+@functools.partial(jax.jit, static_argnames=('kind',))
+def _canonicalize(x, kind: str):
+    if kind == 'complex':
+        x = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
+    elif kind == 'int':
+        x = x.astype(jnp.int32)
+    elif kind == 'float':
+        x = x.astype(jnp.float32)
+    return x.reshape(1, -1)
 
 
-@jax.jit
-def _widen(x):
-    return x.astype(jnp.int32)
+def _via_canonical(x) -> np.ndarray:
+    dt = x.dtype
+    shape = x.shape
+    if jnp.issubdtype(dt, jnp.complexfloating):
+        flat = np.asarray(_canonicalize(x, 'complex'))
+        ri = flat.reshape(*shape, 2) if shape else flat.reshape(2)
+        return (ri[..., 0] + 1j * ri[..., 1]).astype(np.complex64)
+    if dt == jnp.bool_ or jnp.issubdtype(dt, jnp.integer):
+        flat = np.asarray(_canonicalize(x, 'int'))
+        out = flat.reshape(shape) if shape else flat.reshape(())
+        return out.astype(bool) if dt == jnp.bool_ else out.astype(dt)
+    flat = np.asarray(_canonicalize(x, 'float'))
+    out = flat.reshape(shape) if shape else flat.reshape(())
+    return out.astype(dt) if dt != jnp.float32 else out
 
 
 def device_get(x) -> np.ndarray:
     """np.asarray that works around backend transfer gaps."""
+    global _native_broken
     if not isinstance(x, jax.Array):
         return np.asarray(x)
-    dt = x.dtype
-    if jnp.issubdtype(dt, jnp.complexfloating):
-        if _native_transfer_ok('complex'):
+    if not _native_broken:
+        try:
             return np.asarray(x)
-        ri = np.asarray(_split_complex(x))
-        return (ri[0] + 1j * ri[1]).astype(np.complex64)
-    if dt == jnp.bool_ or jnp.issubdtype(dt, jnp.integer) and dt.itemsize < 4:
-        if _native_transfer_ok('narrow'):
-            return np.asarray(x)
-        out = np.asarray(_widen(x))
-        return out.astype(bool) if dt == jnp.bool_ else out.astype(dt)
-    return np.asarray(x)
+        except Exception:
+            _native_broken = True
+    return _via_canonical(x)
