@@ -41,6 +41,7 @@ class _PartialMsg:
     label: str
     msg_num: str          # first block's msg number
     text: str
+    raw: bytes            # unstripped text-region bytes (ARINC-622 payloads)
     last_block_id: str
     created: float
 
@@ -59,33 +60,35 @@ class ReasmCtx:
 
     def add(self, direction: str, reg: str, label: str, msg_num: str,
             block_id: str, text: str, more: bool,
-            now: float | None = None) -> tuple[str, str]:
-        """Returns (reasm_status, full_text)."""
+            now: float | None = None,
+            raw: bytes = b'') -> tuple[str, str, bytes]:
+        """Returns (reasm_status, full_text, full_raw)."""
         now = time_mod.monotonic() if now is None else now
         self._expire(now)
         key = (direction, reg, label)
         cur = self._partial.get(key)
         if cur is None:
             if not more:
-                return REASM_SKIPPED, text
+                return REASM_SKIPPED, text, raw
             self._partial[key] = _PartialMsg(reg, label, msg_num, text,
-                                             block_id, now)
-            return REASM_IN_PROGRESS, text
+                                             raw, block_id, now)
+            return REASM_IN_PROGRESS, text, raw
         # continuation: block ids ascend ('A', 'B', ...)
         if block_id == cur.last_block_id:
-            return REASM_DUPLICATE, text
+            return REASM_DUPLICATE, text, raw
         if len(block_id) == 1 and len(cur.last_block_id) == 1 and \
                 ord(block_id) != ord(cur.last_block_id) + 1:
             del self._partial[key]
-            return REASM_OUT_OF_SEQ, text
+            return REASM_OUT_OF_SEQ, text, raw
         cur.text += text
+        cur.raw += raw
         cur.last_block_id = block_id
         cur.created = now
         if more:
-            return REASM_IN_PROGRESS, cur.text
-        full = cur.text
+            return REASM_IN_PROGRESS, cur.text, cur.raw
+        full, full_raw = cur.text, cur.raw
         del self._partial[key]
-        return REASM_COMPLETE, full
+        return REASM_COMPLETE, full, full_raw
 
 
 def _strip7(b: bytes) -> str:
@@ -132,6 +135,7 @@ def _parse_body(buf: bytes, msg_dir: str, metadata, ctx) -> ProtoNode:
     data['msg_num'] = ''
     data['flight_id'] = ''
     text = ''
+    raw = b''
     more = False
     if len(buf) > 12:
         if (buf[12] & 0x7F) != STX:
@@ -142,21 +146,24 @@ def _parse_body(buf: bytes, msg_dir: str, metadata, ctx) -> ProtoNode:
             more = (body[-1] & 0x7F) == ETB
             body = body[:-1]
         text = _strip7(body)
+        raw = bytes(body)
         downlink = msg_dir == 'air2gnd'
         if downlink and len(text) >= 10 and data['block_id'] not in '\x00':
             data['msg_num'] = text[:4]
             data['flight_id'] = text[4:10]
             text = text[10:]
+            raw = raw[10:]
     data['more_to_come'] = more
 
-    status, full_text = ctx.reasm.add(
+    status, full_text, full_raw = ctx.reasm.add(
         msg_dir, data['reg'], data['label'], data['msg_num'],
-        data['block_id'], text, more)
+        data['block_id'], text, more, raw=raw)
     data['reasm_status'] = status
     data['text'] = full_text if status == REASM_COMPLETE else text
 
     if status in (REASM_COMPLETE, REASM_SKIPPED) and data['text']:
-        child = _parse_arinc622(data['text'], msg_dir)
+        use_raw = full_raw if status == REASM_COMPLETE else raw
+        child = _parse_arinc622(data['text'], use_raw, msg_dir)
         if child is not None:
             node.next = child
     return node
@@ -176,24 +183,24 @@ IMI_NAMES = {
 }
 
 
-def _parse_arinc622(text: str, msg_dir: str) -> ProtoNode | None:
+def _parse_arinc622(text: str, raw: bytes, msg_dir: str) -> ProtoNode | None:
     """Recognize '/<ground addr>.<IMI><aircraft reg>' ATS payloads.
 
-    Deep ADS-C/CPDLC decode phases in later; the node carries the IMI,
-    addresses, and raw payload so downstream consumers see the message
-    class (matches la_arinc_parse surface minimally).
+    ADS-C ('ADS'/'DIS') payloads decode via protocol/adsc.py; CPDLC and
+    AFN are surfaced with IMI + raw payload (deep decode phases in).
     """
     if not text.startswith('/') or len(text) < 12 or text[8] != '.':
         return None
     imi = text[9:12]
     if imi not in IMI_NAMES:
         return None
+    payload = raw[19:] if len(raw) >= 19 else b''
     node = ProtoNode('arinc622', {
         'gs_addr': text[1:8],
         'imi': imi,
         'name': IMI_NAMES[imi],
         'air_addr': text[12:19],
-        'payload_hex': text[19:].encode('latin-1', 'replace').hex(),
+        'payload_hex': payload.hex(),
     })
 
     def fmt(n: ProtoNode, lines: list[str], indent: int) -> None:
@@ -203,6 +210,10 @@ def _parse_arinc622(text: str, msg_dir: str) -> ProtoNode | None:
         iprintf(lines, indent + 1, f"Aircraft address: {d['air_addr']}")
 
     node.text_formatter = fmt
+    if imi == 'ADS' and msg_dir == 'air2gnd' and len(payload) > 2:
+        from . import adsc as adsc_mod
+        # the last 2 octets are the ARINC-622 application CRC
+        node.next = adsc_mod.parse(payload[:-2])
     return node
 
 
