@@ -70,8 +70,8 @@ def pdu_bytes_from_bits(bits: np.ndarray) -> list[bytes]:
 
 def decode_frames(data_symbols: np.ndarray, bitmask: np.ndarray, mode: int) -> list[bytes]:
     """Convenience host wrapper: symbols -> PDU octet strings."""
-    from ..utils.xfer import device_get
+    from ..utils.xfer import device_get, device_put_safe
     bits = decode_frame_batch(
-        jnp.asarray(data_symbols),
-        jnp.asarray(np.asarray(bitmask).reshape(-1, 1)), mode)
+        device_put_safe(np.asarray(data_symbols, np.complex64)),
+        device_put_safe(np.asarray(bitmask, np.int32).reshape(-1, 1)), mode)
     return pdu_bytes_from_bits(device_get(bits))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -26,7 +27,7 @@ import numpy as np
 from .. import constants as C
 from . import backend
 from .tracker import HALO, TrackerOutputs, TrackerState, tracker_block, tracker_init
-from ..utils.xfer import device_get
+from ..utils.xfer import czeros, device_get, device_put_safe
 
 
 class AgcState(NamedTuple):
@@ -158,8 +159,13 @@ def _gather_frames(framebuf: jax.Array, ch: jax.Array,
         .astype(jnp.float32).reshape(sel.shape[0], -1)
 
 
+# Buffer donation is a pure optimization; some experimental PJRT backends
+# (axon tunnel) misbehave with donated buffers -- disable via env var.
+_DONATE = () if os.environ.get('DUMPHFDL_NO_DONATE') else (0, 1, 2, 3, 4)
+
+
 @functools.partial(jax.jit, static_argnames=('num_steps',),
-                   donate_argnums=(0, 1, 2, 3, 4))
+                   donate_argnums=_DONATE)
 def channel_step(agc_state: AgcState,
                  tracker_state: TrackerState,
                  framebuf: jax.Array,
@@ -209,13 +215,13 @@ class ChannelBank:
         c = self.num_channels
         self.agc_state = agc_init(c)
         self.tracker_state = tracker_init(c)
-        self.framebuf = jnp.zeros((c, 2, C.DATA_SYMBOLS_MAX), dtype=jnp.complex64)
-        self._tail = jnp.zeros((c, HALO), dtype=jnp.complex64)
+        self.framebuf = czeros((c, 2, C.DATA_SYMBOLS_MAX))
+        self._tail = czeros((c, HALO))
         self._lvl_tail = jnp.ones((c, HALO), dtype=jnp.float32)
 
     def process(self, samples: np.ndarray) -> list[FrameEvent]:
         """Feed a (C, T) block at 5400 sps; returns completed frames."""
-        x = jnp.asarray(samples, dtype=jnp.complex64)
+        x = device_put_safe(np.asarray(samples, dtype=np.complex64))
         num_steps = int((x.shape[1] - HALO) * C.SYMSYNC_OUT_RATE // C.SPS)
         if self.dumps is not None:       # --datadumps debug taps
             self.dumps.write('chan_out', device_get(x))

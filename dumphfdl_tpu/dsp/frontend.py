@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from ..utils.xfer import device_get
+from ..utils.xfer import device_get, device_put_safe
 
 
 def next_pow2(x: int) -> int:
@@ -184,7 +184,7 @@ class Channelizer:
             taps = firdes_bandpass_c(geo.taps_length, -p.shift_rate - hbw,
                                      -p.shift_rate + hbw)
             kernels[i, :geo.taps_length] = taps
-        self._kernels_fft = jnp.asarray(np.fft.fft(kernels, axis=1).astype(np.complex64))
+        self._kernels_fft = device_put_safe(np.fft.fft(kernels, axis=1).astype(np.complex64))
         self._coarse = np.asarray([p.coarse_bins for p in self.plans], np.int32)
         self._residual = np.asarray([p.residual_cycles for p in self.plans], np.float64)
 
@@ -258,7 +258,7 @@ class Channelizer:
                 buf[:used + geo.overlap_length], geo.fft_size)[::geo.input_size]
             self._in_tail = buf[used:]
             out, self._mixer_phase = self._channelize_blocks(
-                jnp.asarray(frames), self._mixer_phase)
+                device_put_safe(frames), self._mixer_phase)
             self._fs1_ring = np.concatenate(
                 [self._fs1_ring, device_get(out)], axis=1)
         else:
@@ -285,7 +285,7 @@ class Channelizer:
                 offsets = np.maximum(offsets, 0)
             phases = np.round(frac * 64).astype(np.int32)
             out = self._resample(
-                jnp.asarray(self._fs1_ring),
+                device_put_safe(self._fs1_ring),
                 jnp.asarray(offsets.astype(np.int32).reshape(-1, 1)),
                 jnp.asarray(phases.reshape(-1, 1)),
                 self.out_chunk)

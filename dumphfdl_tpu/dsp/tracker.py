@@ -33,6 +33,8 @@ import numpy as np
 
 from .. import constants as C
 from .. import sequences as seq
+from ..utils.xfer import czeros as _czeros
+from ..utils.xfer import device_put_safe as _device_put_safe
 
 # --- framer states (hfdl.c:54-62) ---
 A1_SEARCH, A2_SEARCH, M1_SEARCH, M2_SKIP, EQ_TRAIN, DATA_1, DATA_2 = range(1, 8)
@@ -149,8 +151,8 @@ def tracker_init(num_channels: int) -> TrackerState:
         out_idx=z(),
         phi=z(jnp.float32),
         dphi=z(jnp.float32),
-        eq_taps=jnp.tile(jnp.asarray(_init_eq_taps())[None, :], (c, 1)),
-        eq_buf=jnp.zeros((c, C.EQ_LEN), dtype=jnp.complex64),
+        eq_taps=_device_put_safe(np.tile(_init_eq_taps()[None, :], (c, 1))),
+        eq_buf=_czeros((c, C.EQ_LEN)),
         window=jnp.ones((c, C.A_LEN), dtype=jnp.float32),
         fr_state=jnp.full((c,), A1_SEARCH, dtype=jnp.int32),
         symbols_wanted=jnp.ones((c,), dtype=jnp.int32),

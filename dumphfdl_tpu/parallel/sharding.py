@@ -150,10 +150,12 @@ def init_sharded_states(mesh: Mesh, cfg: ShardedDecodeConfig):
 
     agc = agc_init(c)
     trk = tracker_init(c)
-    framebuf = jnp.zeros((c, 2, C.DATA_SYMBOLS_MAX), dtype=jnp.complex64)
-    tail = jnp.zeros((c, HALO), dtype=jnp.complex64)
+    from ..utils.xfer import czeros
+    framebuf = czeros((c, 2, C.DATA_SYMBOLS_MAX))
+    tail = czeros((c, HALO))
     lvl_tail = jnp.ones((c, HALO), dtype=jnp.float32)
-    return (jnp.asarray(x), jnp.asarray(kernels), jnp.asarray(coarse),
+    from ..utils.xfer import device_put_safe
+    return (device_put_safe(x), device_put_safe(kernels), device_put_safe(coarse),
             agc, trk, framebuf, tail, lvl_tail)
 
 

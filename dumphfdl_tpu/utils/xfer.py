@@ -1,12 +1,17 @@
-"""Transfer-safe device->host conversion.
+"""Transfer-safe host<->device conversion.
 
-Some PJRT backends (notably the axon TPU tunnel) implement only a subset
-of device->host transfers: 2-D float32/int32/bool/int8 arrays work, but
-complex64 and rank-1 arrays raise UNIMPLEMENTED.  ``device_get`` first
-tries the native path; on failure it canonicalizes on device -- complex
-split into trailing (re, im) float32, everything reshaped to (1, N) --
-transfers that, and reassembles on the host.  The failure is remembered
-so later calls skip the doomed native attempt.
+The axon PJRT tunnel (experimental TPU backend) supports compute for all
+dtypes but its host<->device *transfers* only handle >=2-D float32/int32
+(and similar) arrays -- and a complex64 device_put doesn't just fail, it
+wedges the connection for minutes.  On restricted backends these helpers
+keep every boundary crossing to 2-D float32/int32:
+
+* ``device_put_safe``: complex is split host-side into an (N, 2) float32
+  array and joined on device; narrow ints widen; rank<2 reshapes.
+* ``device_get``: the reverse -- split/widen/reshape on device, transfer
+  a (rows, 128) float32/int32 block, reassemble host-side.
+
+On normal backends both are plain ``jnp.asarray`` / ``np.asarray``.
 """
 
 from __future__ import annotations
@@ -17,44 +22,112 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_native_broken = False
+_LANES = 128
 
+
+@functools.cache
+def restricted_backend() -> bool:
+    try:
+        return jax.default_backend() == 'axon'
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# host -> device
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('shape', 'kind'))
+def _join_on_device(flat, shape: tuple, kind: str):
+    n = int(np.prod(shape, dtype=np.int64))
+    if kind == 'complex':
+        pairs = flat.reshape(-1)[:2 * n].reshape(-1, 2)
+        return jax.lax.complex(pairs[:, 0], pairs[:, 1]).reshape(shape)
+    return flat.reshape(-1)[:n].reshape(shape)
+
+
+def _pad_rows(flat: np.ndarray) -> np.ndarray:
+    rows = max(8, -(-flat.size // _LANES))
+    out = np.zeros(rows * _LANES, dtype=flat.dtype)
+    out[:flat.size] = flat
+    return out.reshape(rows, _LANES)
+
+
+def device_put_safe(x) -> jax.Array:
+    """jnp.asarray that never crosses the boundary with unsupported forms."""
+    if isinstance(x, jax.Array):
+        return x
+    x = np.asarray(x)
+    if not restricted_backend():
+        return jnp.asarray(x)
+    if np.issubdtype(x.dtype, np.complexfloating):
+        ri = np.empty((x.size, 2), np.float32)
+        flat = x.reshape(-1)
+        ri[:, 0] = flat.real
+        ri[:, 1] = flat.imag
+        return _join_on_device(jnp.asarray(_pad_rows(ri.reshape(-1))),
+                               x.shape, 'complex')
+    if x.dtype == bool or (np.issubdtype(x.dtype, np.integer)
+                           and x.dtype.itemsize < 4):
+        widened = _pad_rows(x.reshape(-1).astype(np.int32))
+        dev = _join_on_device(jnp.asarray(widened), x.shape, 'real')
+        return dev.astype(jnp.bool_ if x.dtype == bool else x.dtype)
+    if x.ndim < 2 or x.dtype not in (np.float32, np.int32):
+        dt = np.float32 if np.issubdtype(x.dtype, np.floating) else np.int32
+        flat = _pad_rows(x.reshape(-1).astype(dt))
+        dev = _join_on_device(jnp.asarray(flat), x.shape, 'real')
+        return dev.astype(x.dtype) if x.dtype not in (np.float32, np.int32) \
+            else dev
+    return jnp.asarray(x)
+
+
+@functools.partial(jax.jit, static_argnames=('shape',))
+def czeros(shape: tuple) -> jax.Array:
+    """complex64 zeros via jit (eager complex ops are unimplemented on
+    some experimental backends)."""
+    return jnp.zeros(shape, jnp.complex64)
+
+
+# ---------------------------------------------------------------------------
+# device -> host
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=('kind',))
 def _canonicalize(x, kind: str):
+    """Reshape to a well-supported transfer shape: (rows>=8, 128) padded."""
     if kind == 'complex':
         x = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
     elif kind == 'int':
         x = x.astype(jnp.int32)
     elif kind == 'float':
         x = x.astype(jnp.float32)
-    return x.reshape(1, -1)
+    flat = x.reshape(-1)
+    rows = max(8, -(-flat.size // _LANES))
+    flat = jnp.pad(flat, (0, rows * _LANES - flat.size))
+    return flat.reshape(rows, _LANES)
 
 
 def _via_canonical(x) -> np.ndarray:
     dt = x.dtype
     shape = x.shape
+    n = int(np.prod(shape)) if shape else 1
     if jnp.issubdtype(dt, jnp.complexfloating):
-        flat = np.asarray(_canonicalize(x, 'complex'))
+        flat = np.asarray(_canonicalize(x, 'complex')).reshape(-1)[:2 * n]
         ri = flat.reshape(*shape, 2) if shape else flat.reshape(2)
         return (ri[..., 0] + 1j * ri[..., 1]).astype(np.complex64)
     if dt == jnp.bool_ or jnp.issubdtype(dt, jnp.integer):
-        flat = np.asarray(_canonicalize(x, 'int'))
+        flat = np.asarray(_canonicalize(x, 'int')).reshape(-1)[:n]
         out = flat.reshape(shape) if shape else flat.reshape(())
         return out.astype(bool) if dt == jnp.bool_ else out.astype(dt)
-    flat = np.asarray(_canonicalize(x, 'float'))
+    flat = np.asarray(_canonicalize(x, 'float')).reshape(-1)[:n]
     out = flat.reshape(shape) if shape else flat.reshape(())
     return out.astype(dt) if dt != jnp.float32 else out
 
 
 def device_get(x) -> np.ndarray:
     """np.asarray that works around backend transfer gaps."""
-    global _native_broken
     if not isinstance(x, jax.Array):
         return np.asarray(x)
-    if not _native_broken:
-        try:
-            return np.asarray(x)
-        except Exception:
-            _native_broken = True
+    if not restricted_backend():
+        return np.asarray(x)
     return _via_canonical(x)
