@@ -41,7 +41,11 @@ class ProtoNode:
         return ''.join(lines)
 
     def to_json(self) -> dict:
-        obj = self.json_formatter(self) if self.json_formatter else dict(self.data)
+        if self.json_formatter:
+            obj = self.json_formatter(self)
+        else:
+            obj = {k: (v.hex() if isinstance(v, (bytes, bytearray)) else v)
+                   for k, v in self.data.items()}
         if self.next is not None:
             obj[self.next.json_key] = self.next.to_json()
         return obj
