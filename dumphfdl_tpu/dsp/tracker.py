@@ -208,7 +208,7 @@ def tracker_block(state: TrackerState,
       x: (C, T) matched-filtered complex input at 5400 sps, *including* the
          HALO samples carried from the previous block at the front.
       level: (C, T) AGC signal-level estimate aligned with x.
-      num_steps: symsync output steps to run (~(T - 2*HALO) * 2/3).
+      num_steps: symbol iterations to run (~(T - 2*HALO) / 3).
 
     Returns (new_state, outputs); new_state.tau is rebased for the next
     block (caller prepends the last HALO samples of x).
@@ -234,59 +234,64 @@ def tracker_block(state: TrackerState,
     k1 = 4 * zeta * bw / denom
     k2 = 4 * bw * bw / denom
 
-    def step(st: TrackerState, _):
-        # ---- interpolate at tau ----
-        i = jnp.floor(st.tau).astype(jnp.int32)
-        mu = st.tau - i.astype(jnp.float32)
+    def interp(tau):
+        i = jnp.floor(tau).astype(jnp.int32)
+        mu = tau - i.astype(jnp.float32)
         i = jnp.clip(i, ITAPS // 2 - 1, T - ITAPS // 2 - 1)
         start = i - (ITAPS // 2 - 1)
         win = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (ITAPS,)))(x, start)
         phase = jnp.round(mu * NPHASES).astype(jnp.int32)
-        hw = h_bank[phase]                     # (C, ITAPS)
-        dhw = dh_bank[phase]
-        y = jnp.sum(win * hw, axis=-1)
-        ydot = jnp.sum(win * dhw, axis=-1)
-        lvl = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (1,)))(level, i)[:, 0]
+        return win, h_bank[phase], dh_bank[phase], i
 
-        # ---- ML timing error + loop ----
-        # Evaluated at EVEN output steps: the initial equalizer's 7-step
+    def step(st: TrackerState, _):
+        """One full symbol: even half-step (timing strobe) + odd half-step
+        (demod).  Fusing both halves halves the scan length and drops the
+        per-step parity masking (reference processes them serially at
+        hfdl.c:708-718)."""
+        # ===== even half-step: interpolate, ML TED, costas step, EQ push ===
+        # The TED strobes EVEN output steps: the initial equalizer's 7-step
         # (odd) group delay maps odd-step demod onto even-step samples, so
-        # even steps must sit on the matched-filter peaks (this mirrors the
+        # even steps must sit on the matched-filter peaks (mirrors the
         # liquid symsync + eqlms delay chain of the reference).
-        strobe = (st.out_idx & 1) == 0
-        q = y.real * ydot.real + y.imag * ydot.imag
-        q = jnp.where(strobe, jnp.clip(q, -1.0, 1.0), 0.0)
+        win, hw, dhw, i_e = interp(st.tau)
+        y_e = jnp.sum(win * hw, axis=-1)
+        ydot = jnp.sum(win * dhw, axis=-1)
+        q = jnp.clip(y_e.real * ydot.real + y_e.imag * ydot.imag, -1.0, 1.0)
         rate = st.rate + k2 * q
-        tau_next = st.tau + base_step + k1 * q + rate
+        tau_o = st.tau + base_step + k1 * q + rate
 
-        # ---- costas mix (step every output sample, hfdl.c:709-710) ----
-        phi = st.phi + st.dphi
-        phi = jnp.where(phi > np.pi, phi - 2 * np.pi,
-                        jnp.where(phi < -np.pi, phi + 2 * np.pi, phi))
-        v = y * jnp.exp(-1j * phi)
+        def costas_step(phi, dphi):
+            phi = phi + dphi
+            return jnp.where(phi > np.pi, phi - 2 * np.pi,
+                             jnp.where(phi < -np.pi, phi + 2 * np.pi, phi))
 
+        phi = costas_step(st.phi, st.dphi)
+        v_e = y_e * jnp.exp(-1j * phi)
         # costas runaway watchdog during search (hfdl.c:711-715)
         runaway = (jnp.abs(st.dphi) > C.COSTAS_DPHI_RESET_LIMIT) & (st.fr_state == A1_SEARCH)
         phi = jnp.where(runaway, 0.0, phi)
         dphi = jnp.where(runaway, 0.0, st.dphi)
         rate = jnp.where(runaway, 0.0, rate)
+        # ===== odd half-step: interpolate, costas, EQ push, demod ==========
+        win_o, hw_o, _, i_o = interp(tau_o)
+        y_o = jnp.sum(win_o * hw_o, axis=-1)
+        tau_next = tau_o + base_step + rate
+        phi = costas_step(phi, dphi)
+        v_o = y_o * jnp.exp(-1j * phi)
+        lvl = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (1,)))(level, i_o)[:, 0]
+        eq_buf = jnp.concatenate([st.eq_buf[:, 2:], v_e[:, None],
+                                  v_o[:, None]], axis=1)
 
-        # ---- equalizer push ----
-        eq_buf = jnp.concatenate([st.eq_buf[:, 1:], v[:, None]], axis=1)
-
-        out_idx = st.out_idx + 1
-        is_sym = (st.out_idx & 1) == 1         # odd index -> symbol strobe
-
-        # ---- symbol processing (masked) ----
+        # ---- symbol processing (every iteration is a symbol now) ----
         y_eq = jnp.sum(st.eq_taps * eq_buf, axis=-1)
         bit_raw, perr = _demod_bits_and_err(y_eq, st.cur_arity)
         # costas adjust from demod phase error (hfdl.c:276-281,737-738)
         err = jnp.clip(perr, -1.0, 1.0)
-        phi = jnp.where(is_sym, phi + C.COSTAS_ALPHA * err, phi)
-        dphi = jnp.where(is_sym, dphi + C.COSTAS_BETA * err, dphi)
+        phi = phi + C.COSTAS_ALPHA * err
+        dphi = dphi + C.COSTAS_BETA * err
 
         # EQ training (hfdl.c:730-733)
-        in_train = is_sym & (st.fr_state == EQ_TRAIN)
+        in_train = st.fr_state == EQ_TRAIN
         t_i = jnp.clip(st.t_idx, 0, C.T_LEN - 1)
         d = t_bip[t_i] * jnp.where(st.bitmask, -1.0, 1.0)
         e = d - y_eq
@@ -302,7 +307,7 @@ def tracker_block(state: TrackerState,
         train_total = st.train_total + jnp.where(in_train, 1, 0)
 
         # bit window push during bit-emitting states
-        emit_bits = is_sym & (st.fr_state <= M1_SEARCH)
+        emit_bits = st.fr_state <= M1_SEARCH
         wbit = 1.0 - 2.0 * jnp.asarray(tbit, jnp.float32)  # bit^bitmask, bipolar
         window = jnp.where(
             emit_bits[:, None],
@@ -310,12 +315,13 @@ def tracker_block(state: TrackerState,
             st.window)
 
         # data symbol emission
-        in_data = is_sym & ((st.fr_state == DATA_1) | (st.fr_state == DATA_2))
+        in_data = (st.fr_state == DATA_1) | (st.fr_state == DATA_2)
         out_data_idx = st.data_idx
         data_idx = jnp.where(in_data, st.data_idx + 1, st.data_idx)
+        out_idx = st.out_idx + 2
 
         # signal level averaging inside a frame (hfdl.c:766-773)
-        in_frame = is_sym & (st.fr_state > A1_SEARCH)
+        in_frame = st.fr_state > A1_SEARCH
         sig = jnp.where(
             in_frame,
             (st.signal_level * st.frame_sym_cnt + lvl) / (st.frame_sym_cnt + 1.0),
@@ -324,25 +330,25 @@ def tracker_block(state: TrackerState,
 
         # noise floor EMA while hunting (hfdl.c:699-706); cadence ~256 input samples
         nf_clk = st.nf_clk + 1
-        nf_due = (nf_clk >= 170) & (st.fr_state == A1_SEARCH)
+        nf_due = (nf_clk >= 85) & (st.fr_state == A1_SEARCH)
         nf = jnp.where(
             nf_due,
             0.65 * st.noise_floor + 0.35 * jnp.minimum(st.noise_floor, lvl) + 1e-6,
             st.noise_floor)
         nf_clk = jnp.where(nf_due, 0, nf_clk)
 
-        abs_symbol = st.abs_symbol + is_sym.astype(jnp.int32)
-        symbol_cnt = st.symbol_cnt + is_sym.astype(jnp.int32)
+        abs_symbol = st.abs_symbol + 1
+        symbol_cnt = st.symbol_cnt + 1
         # long-hunt watchdog (hfdl.c:746-752)
-        stale = is_sym & (symbol_cnt >= C.MAX_SYMBOLS_WITHOUT_FRAME) & (st.fr_state == A1_SEARCH)
+        stale = (symbol_cnt >= C.MAX_SYMBOLS_WITHOUT_FRAME) & (st.fr_state == A1_SEARCH)
         phi = jnp.where(stale, 0.0, phi)
         dphi = jnp.where(stale, 0.0, dphi)
         rate = jnp.where(stale, 0.0, rate)
         symbol_cnt = jnp.where(stale, 0, symbol_cnt)
 
         # ---- framer FSM ----
-        run_fsm = is_sym & (st.symbols_wanted <= 1)
-        sw = jnp.where(is_sym & ~run_fsm, st.symbols_wanted - 1, st.symbols_wanted)
+        run_fsm = st.symbols_wanted <= 1
+        sw = jnp.where(~run_fsm, st.symbols_wanted - 1, st.symbols_wanted)
 
         corr_a = window @ a_bip / C.A_LEN                    # (C,)
         corr_m = jnp.abs(window @ m1_bip / C.A_LEN)          # (C, 8)

@@ -55,7 +55,7 @@ def build_config(mesh: Mesh, frames_per_shard: int = 2,
     geo = fe.compute_geometry(decimation=8, transition_bw=0.1)
     num_channels = mesh.shape['chan'] * channels_per_shard
     demod_block = 96
-    num_steps = (demod_block - HALO) * C.SYMSYNC_OUT_RATE // C.SPS
+    num_steps = (demod_block - HALO) // C.SPS
     return ShardedDecodeConfig(geo, num_channels, frames_per_shard,
                                demod_block, num_steps)
 
