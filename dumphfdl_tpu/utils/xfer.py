@@ -82,10 +82,19 @@ def device_put_safe(x) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=('shape',))
+def _czeros_jit(seed, shape: tuple) -> jax.Array:
+    z = jnp.broadcast_to(seed.reshape(()), shape) * 0.0
+    return jax.lax.complex(z, z)
+
+
 def czeros(shape: tuple) -> jax.Array:
-    """complex64 zeros via jit (eager complex ops are unimplemented on
-    some experimental backends)."""
-    return jnp.zeros(shape, jnp.complex64)
+    """complex64 zeros via a non-nullary jit.
+
+    Eager complex ops are unimplemented on some experimental backends,
+    and a *nullary* jitted fill gets constant-folded into the same
+    unsupported path -- so thread a real float32 input through."""
+    seed = jnp.asarray(np.zeros((1, 1), np.float32))
+    return _czeros_jit(seed, tuple(shape))
 
 
 # ---------------------------------------------------------------------------

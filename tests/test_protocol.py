@@ -150,11 +150,14 @@ def test_acars_basic(ctx, meta):
 
 def test_acars_multiblock_reassembly(ctx):
     r = acars_mod.ReasmCtx()
-    st, _ = r.add('air2gnd', 'REG', 'H1', 'M01', 'A', 'part1 ', True)
+    st, _, _ = r.add('air2gnd', 'REG', 'H1', 'M01', 'A', 'part1 ', True,
+                     raw=b'part1 ')
     assert st == acars_mod.REASM_IN_PROGRESS
-    st, text = r.add('air2gnd', 'REG', 'H1', 'M01', 'B', 'part2', False)
+    st, text, raw = r.add('air2gnd', 'REG', 'H1', 'M01', 'B', 'part2', False,
+                          raw=b'part2')
     assert st == acars_mod.REASM_COMPLETE
     assert text == 'part1 part2'
+    assert raw == b'part1 part2'
 
 
 def test_basestation_formatter(ctx, meta):
