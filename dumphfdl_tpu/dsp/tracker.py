@@ -351,9 +351,20 @@ def tracker_block(state: TrackerState,
         sw = jnp.where(~run_fsm, st.symbols_wanted - 1, st.symbols_wanted)
 
         corr_a = window @ a_bip / C.A_LEN                    # (C,)
-        corr_m = jnp.abs(window @ m1_bip / C.A_LEN)          # (C, 8)
-        m1_match = jnp.argmax(corr_m, axis=1).astype(jnp.int32)
-        corr_m1 = jnp.max(corr_m, axis=1)
+        # the 8-way M1 correlation only matters while some channel is in
+        # M1 search (127 symbols per frame); skip the matmul otherwise
+        any_m1 = jnp.any(fr_m1_pre := (st.fr_state == M1_SEARCH))
+
+        def with_m1(w):
+            corr_m = jnp.abs(w @ m1_bip / C.A_LEN)           # (C, 8)
+            return (jnp.argmax(corr_m, axis=1).astype(jnp.int32),
+                    jnp.max(corr_m, axis=1))
+
+        def no_m1(w):
+            c = w.shape[0]
+            return (jnp.zeros((c,), jnp.int32), jnp.zeros((c,), jnp.float32))
+
+        m1_match, corr_m1 = jax.lax.cond(any_m1, with_m1, no_m1, window)
 
         fr = st.fr_state
         bitmask = st.bitmask
