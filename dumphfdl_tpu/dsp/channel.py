@@ -26,7 +26,8 @@ import numpy as np
 
 from .. import constants as C
 from . import backend
-from .tracker import HALO, TrackerOutputs, TrackerState, tracker_block, tracker_init
+from .tracker import (EV_FIELDS, HALO, K_EVENTS, TrackerOutputs,
+                      TrackerState, tracker_block, tracker_init)
 from ..utils.xfer import czeros, device_get, device_put_safe
 
 
@@ -111,40 +112,6 @@ def _scatter_frames(framebuf: jax.Array, outs: TrackerOutputs) -> jax.Array:
         .set(outs.sym.ravel(), mode='drop')
 
 
-# completed-frame event slots per channel per block; a block must be short
-# enough that no channel finishes more than this many frames in it
-K_EVENTS = 2
-_EV_FIELDS = 10   # valid, mode, bitmask, parity, freq_err, rssi, nf,
-                  # train_bad, train_total, start_sym
-
-
-def _compact_events(outs: TrackerOutputs) -> jax.Array:
-    """Compact sparse (T, C) frame events into a dense (C, K, F) f32 table.
-
-    Device-side compaction keeps the per-block host transfer to one small
-    2-D float32 array regardless of block length."""
-    t, c = outs.emit.shape
-    ch = jnp.broadcast_to(jnp.arange(c)[None, :], (t, c))
-    slot = jnp.cumsum(outs.emit.astype(jnp.int32), axis=0) - 1
-    slot = jnp.where(outs.emit, jnp.minimum(slot, K_EVENTS), K_EVENTS)  # OOB -> drop
-    fields = jnp.stack([
-        jnp.ones_like(outs.emit_freq_err),
-        outs.emit_mode.astype(jnp.float32),
-        outs.emit_bitmask.astype(jnp.float32),
-        outs.emit_parity.astype(jnp.float32),
-        outs.emit_freq_err,
-        outs.emit_rssi,
-        outs.emit_nf,
-        outs.emit_train_bad.astype(jnp.float32),
-        outs.emit_train_total.astype(jnp.float32),
-        outs.emit_start_sym.astype(jnp.float32),
-    ], axis=-1)                                          # (T, C, F)
-    table = jnp.zeros((c, K_EVENTS + 1, _EV_FIELDS), jnp.float32)
-    table = table.at[ch.ravel(), slot.ravel()].set(
-        fields.reshape(-1, _EV_FIELDS), mode='drop')
-    return table[:, :K_EVENTS].reshape(c, K_EVENTS * _EV_FIELDS)
-
-
 _GATHER_BATCH = 4
 
 
@@ -185,16 +152,9 @@ def channel_step(agc_state: AgcState,
     lvl_ext = jnp.concatenate([lvl_tail, level], axis=1)
     new_tail = mf_ext[:, -HALO:]
     new_lvl_tail = lvl_ext[:, -HALO:]
-    tracker_state, outs = tracker_block(tracker_state, mf_ext, lvl_ext,
-                                        num_steps)
+    tracker_state, outs, ev_table, counters = tracker_block(
+        tracker_state, mf_ext, lvl_ext, num_steps)
     framebuf = _scatter_frames(framebuf, outs)
-    ev_table = _compact_events(outs)                     # (C, K*F) f32
-    # per-channel statsd counter deltas for this block (A2/M1/M1-miss)
-    counters = jnp.stack([
-        jnp.sum(outs.a2_found, axis=0, dtype=jnp.float32),
-        jnp.sum(outs.m1_found, axis=0, dtype=jnp.float32),
-        jnp.sum(outs.m1_miss, axis=0, dtype=jnp.float32),
-    ], axis=1)                                           # (C, 3) f32
     return (agc_state, tracker_state, framebuf, new_tail, new_lvl_tail,
             outs, ev_table, counters)
 
@@ -248,7 +208,7 @@ class ChannelBank:
         is gathered on-device in fixed-size batches only when events
         actually completed."""
         table = device_get(ev_table).reshape(self.num_channels,
-                                             K_EVENTS, _EV_FIELDS)
+                                             K_EVENTS, EV_FIELDS)
         valid = table[:, :, 0] > 0.5
         if not valid.any():
             return []
@@ -277,8 +237,8 @@ class ChannelBank:
             pa_pad = (gather_parity[off:off + batch] + [0] * batch)[:batch]
             flat = device_get(_gather_frames(
                 self.framebuf,
-                jnp.asarray(np.asarray(ch_pad, np.int32).reshape(batch, 1)),
-                jnp.asarray(np.asarray(pa_pad, np.int32).reshape(batch, 1))))
+                device_put_safe(np.asarray(ch_pad, np.int32).reshape(batch, 1)),
+                device_put_safe(np.asarray(pa_pad, np.int32).reshape(batch, 1))))
             ri = flat.reshape(batch, C.DATA_SYMBOLS_MAX, 2)
             n = min(batch, len(events) - off)
             frames[off:off + n] = ri[:n, :, 0] + 1j * ri[:n, :, 1]

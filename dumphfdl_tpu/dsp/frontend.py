@@ -286,8 +286,8 @@ class Channelizer:
             phases = np.round(frac * 64).astype(np.int32)
             out = self._resample(
                 device_put_safe(self._fs1_ring),
-                jnp.asarray(offsets.astype(np.int32).reshape(-1, 1)),
-                jnp.asarray(phases.reshape(-1, 1)),
+                device_put_safe(offsets.astype(np.int32).reshape(-1, 1)),
+                device_put_safe(phases.astype(np.int32).reshape(-1, 1)),
                 self.out_chunk)
             chunks.append(device_get(out))
             self._out_count += self.out_chunk

@@ -113,24 +113,21 @@ class TrackerState(NamedTuple):
 
 
 class TrackerOutputs(NamedTuple):
-    """Per-step, per-channel scan outputs; axes (T_out, C)."""
-    sym: jax.Array          # c64 equalized symbol (valid at symbol strobes)
+    """Per-symbol, per-channel scan outputs; axes (T_out, C).
+
+    Frame-completion events and preamble counters are accumulated in the
+    scan carry (dense per-step event fields would triple the scan output
+    bandwidth); tracker_block returns them separately."""
+    sym: jax.Array          # c64 equalized symbol
     is_data: jax.Array      # bool
     data_idx: jax.Array     # i32 slot within frame
     frame_parity: jax.Array  # i32 frame_counter & 1
-    emit: jax.Array         # bool frame-complete event
-    emit_mode: jax.Array    # i32
-    emit_bitmask: jax.Array  # bool
-    emit_parity: jax.Array  # i32
-    emit_freq_err: jax.Array  # f32 Hz
-    emit_rssi: jax.Array    # f32 linear signal level
-    emit_nf: jax.Array      # f32 linear noise floor
-    emit_train_bad: jax.Array   # i32
-    emit_train_total: jax.Array  # i32
-    emit_start_sym: jax.Array   # i32 absolute symbol index of frame start
-    a2_found: jax.Array         # bool (statsd demod.preamble.A2_found)
-    m1_found: jax.Array         # bool
-    m1_miss: jax.Array          # bool (demod.preamble.errors.M1_not_found)
+
+
+# event-table geometry shared with dsp/channel.py
+K_EVENTS = 2
+EV_FIELDS = 10   # valid, mode, bitmask, parity, freq_err, rssi, nf,
+                 # train_bad, train_total, start_sym
 
 
 def _init_eq_taps() -> np.ndarray:
@@ -243,11 +240,12 @@ def tracker_block(state: TrackerState,
         phase = jnp.round(mu * NPHASES).astype(jnp.int32)
         return win, h_bank[phase], dh_bank[phase], i
 
-    def step(st: TrackerState, _):
+    def step(carry, _):
         """One full symbol: even half-step (timing strobe) + odd half-step
         (demod).  Fusing both halves halves the scan length and drops the
         per-step parity masking (reference processes them serially at
         hfdl.c:708-718)."""
+        st, carry_aux = carry
         # ===== even half-step: interpolate, ML TED, costas step, EQ push ===
         # The TED strobes EVEN output steps: the initial equalizer's 7-step
         # (odd) group delay maps odd-step demod onto even-step samples, so
@@ -444,17 +442,26 @@ def tracker_block(state: TrackerState,
         fr = set_where(to_data | d1, jnp.where(d1, DATA_2, DATA_1), fr)
         fr = set_where(d2, EQ_TRAIN, fr)
 
-        # --- frame completion event ---
+        # --- frame completion event -> carried event table ---
         emit = frame_done
-        emit_mode = mode
-        emit_bitmask = bitmask
-        emit_parity = st.frame_counter & 1
-        emit_freq_err = freq_err
-        emit_rssi = sig
-        emit_nf = nf
-        emit_train_bad = train_bad
-        emit_train_total = train_total
-        emit_start = frame_start
+        ev_table, ev_count, counters = carry_aux
+        fields = jnp.stack([
+            jnp.ones_like(freq_err),
+            mode.astype(jnp.float32),
+            bitmask.astype(jnp.float32),
+            (st.frame_counter & 1).astype(jnp.float32),
+            freq_err, sig, nf,
+            train_bad.astype(jnp.float32),
+            train_total.astype(jnp.float32),
+            frame_start.astype(jnp.float32),
+        ], axis=-1)                                   # (C, EV_FIELDS)
+        slot = jnp.where(emit, jnp.minimum(ev_count, K_EVENTS), K_EVENTS)
+        ev_table = ev_table.at[cidx, slot].set(
+            jnp.where(emit[:, None], fields, ev_table[cidx, slot]))
+        ev_count = ev_count + emit.astype(jnp.int32)
+        counters = counters + jnp.stack(
+            [a2_hit, m1_hit, m1_fail], axis=-1).astype(jnp.float32)
+        carry_aux_new = (ev_table, ev_count, counters)
         frame_counter = jnp.where(emit, st.frame_counter + 1, st.frame_counter)
         symbol_cnt = jnp.where(emit, 0, symbol_cnt)
 
@@ -490,16 +497,17 @@ def tracker_block(state: TrackerState,
         outputs = TrackerOutputs(
             sym=y_eq, is_data=in_data, data_idx=out_data_idx,
             frame_parity=st.frame_counter & 1,
-            emit=emit, emit_mode=emit_mode, emit_bitmask=emit_bitmask,
-            emit_parity=emit_parity, emit_freq_err=emit_freq_err,
-            emit_rssi=emit_rssi, emit_nf=emit_nf,
-            emit_train_bad=emit_train_bad, emit_train_total=emit_train_total,
-            emit_start_sym=emit_start,
-            a2_found=a2_hit, m1_found=m1_hit, m1_miss=m1_fail,
         )
-        return new_state, outputs
+        return (new_state, carry_aux_new), outputs
 
-    final, outs = jax.lax.scan(step, state, None, length=num_steps)
+    c = x.shape[0]
+    ev_table0 = jnp.zeros((c, K_EVENTS + 1, EV_FIELDS), jnp.float32)
+    ev_count0 = jnp.zeros((c,), jnp.int32)
+    counters0 = jnp.zeros((c, 3), jnp.float32)
+    (final, (ev_table, _, counters)), outs = jax.lax.scan(
+        step, (state, (ev_table0, ev_count0, counters0)), None,
+        length=num_steps)
     # rebase tau for the next block: caller prepends the last HALO samples
     final = final._replace(tau=final.tau - (T - HALO))
-    return final, outs
+    ev_out = ev_table[:, :K_EVENTS].reshape(c, K_EVENTS * EV_FIELDS)
+    return final, outs, ev_out, counters

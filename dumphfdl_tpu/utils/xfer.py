@@ -72,18 +72,18 @@ def device_put_safe(x) -> jax.Array:
         widened = _pad_rows(x.reshape(-1).astype(np.int32))
         dev = _join_on_device(jnp.asarray(widened), x.shape, 'real')
         return dev.astype(jnp.bool_ if x.dtype == bool else x.dtype)
-    if x.ndim < 2 or x.dtype not in (np.float32, np.int32):
-        dt = np.float32 if np.issubdtype(x.dtype, np.floating) else np.int32
-        flat = _pad_rows(x.reshape(-1).astype(dt))
-        dev = _join_on_device(jnp.asarray(flat), x.shape, 'real')
-        return dev.astype(x.dtype) if x.dtype not in (np.float32, np.int32) \
-            else dev
-    return jnp.asarray(x)
+    # Route EVERYTHING through the (rows>=8, 128)-padded form: it is the
+    # only transfer class that has never failed on the tunnel.
+    dt = np.float32 if np.issubdtype(x.dtype, np.floating) else np.int32
+    flat = _pad_rows(x.reshape(-1).astype(dt))
+    dev = _join_on_device(jnp.asarray(flat), x.shape, 'real')
+    return dev.astype(x.dtype) if x.dtype not in (np.float32, np.int32) \
+        else dev
 
 
 @functools.partial(jax.jit, static_argnames=('shape',))
 def _czeros_jit(seed, shape: tuple) -> jax.Array:
-    z = jnp.broadcast_to(seed.reshape(()), shape) * 0.0
+    z = jnp.broadcast_to(seed[0, 0], shape) * 0.0
     return jax.lax.complex(z, z)
 
 
@@ -92,8 +92,9 @@ def czeros(shape: tuple) -> jax.Array:
 
     Eager complex ops are unimplemented on some experimental backends,
     and a *nullary* jitted fill gets constant-folded into the same
-    unsupported path -- so thread a real float32 input through."""
-    seed = jnp.asarray(np.zeros((1, 1), np.float32))
+    unsupported path -- so thread a real float32 input through (in the
+    proven transfer shape)."""
+    seed = jnp.asarray(np.zeros((8, _LANES), np.float32))
     return _czeros_jit(seed, tuple(shape))
 
 
