@@ -83,7 +83,10 @@ def device_put_safe(x) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=('shape',))
 def _czeros_jit(seed, shape: tuple) -> jax.Array:
-    z = jnp.broadcast_to(seed[0, 0], shape) * 0.0
+    # NB: must not multiply by 0 -- XLA would constant-fold the output
+    # into a complex literal, which hits the same unsupported path.  The
+    # seed is all-zeros at runtime.
+    z = jnp.broadcast_to(seed[0, 0], shape)
     return jax.lax.complex(z, z)
 
 
