@@ -81,24 +81,16 @@ def device_put_safe(x) -> jax.Array:
         else dev
 
 
-@functools.partial(jax.jit, static_argnames=('shape',))
-def _czeros_jit(seed, shape: tuple) -> jax.Array:
-    # NB: must not multiply by 0 -- XLA would constant-fold the output
-    # into a complex literal, which hits the same unsupported path.  The
-    # seed is all-zeros at runtime.
-    z = jnp.broadcast_to(seed[0, 0], shape)
-    return jax.lax.complex(z, z)
-
-
 def czeros(shape: tuple) -> jax.Array:
-    """complex64 zeros via a non-nullary jit.
+    """complex64 zeros.
 
-    Eager complex ops are unimplemented on some experimental backends,
-    and a *nullary* jitted fill gets constant-folded into the same
-    unsupported path -- so thread a real float32 input through (in the
-    proven transfer shape)."""
-    seed = jnp.asarray(np.zeros((8, _LANES), np.float32))
-    return _czeros_jit(seed, tuple(shape))
+    Eager complex fills are unimplemented on some experimental backends
+    (and jitted variants get constant-folded back into the same path),
+    so on restricted backends this rides the proven put route: upload
+    zero float32 pairs and join them on device."""
+    if not restricted_backend():
+        return jnp.zeros(shape, jnp.complex64)
+    return device_put_safe(np.zeros(shape, np.complex64))
 
 
 # ---------------------------------------------------------------------------
