@@ -44,12 +44,16 @@ class WidebandReceiver:
         return events
 
     def flush(self) -> list[FrameEvent]:
-        """Drain buffered narrowband samples (zero-pad the last block)."""
+        """Drain buffered samples (silence covers a full double-slot frame
+        plus channelizer/resampler latency so in-flight frames complete)."""
+        pad_wb = int((C.DOUBLE_SLOT_FRAME_LEN + 200) * C.SPS
+                     * self.sample_rate / C.INTERNAL_RATE) \
+            + 4 * self.channelizer.geo.fft_size
         events: list[FrameEvent] = []
-        # push silence through so partially-buffered frames complete
-        pad = np.zeros(self.block_len * 3 * self.channelizer.geo.decimation,
-                       dtype=np.complex64)
-        events.extend(self.process(pad))
+        step = self.sample_rate
+        pad = np.zeros(step, dtype=np.complex64)
+        for _ in range(-(-pad_wb // step)):
+            events.extend(self.process(pad))
         return events
 
 
@@ -72,5 +76,6 @@ class NarrowbandReceiver:
         return events
 
     def flush(self) -> list[FrameEvent]:
-        pad = np.zeros(C.SINGLE_SLOT_FRAME_LEN * C.SPS, dtype=np.complex64)
+        pad = np.zeros((C.DOUBLE_SLOT_FRAME_LEN + 200) * C.SPS,
+                       dtype=np.complex64)
         return self.process(pad)
