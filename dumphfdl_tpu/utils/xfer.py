@@ -27,8 +27,15 @@ _LANES = 128
 
 @functools.cache
 def restricted_backend() -> bool:
+    import os
+    if 'axon' in os.environ.get('JAX_PLATFORMS', '').lower():
+        return True
     try:
-        return jax.default_backend() == 'axon'
+        if jax.default_backend() == 'axon':
+            return True
+        dev = jax.devices()[0]
+        return 'axon' in (getattr(dev, 'platform', '') or '').lower() \
+            or 'axon' in str(type(dev)).lower()
     except Exception:
         return False
 
