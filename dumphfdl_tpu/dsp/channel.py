@@ -182,7 +182,8 @@ class ChannelBank:
     def process(self, samples: np.ndarray) -> list[FrameEvent]:
         """Feed a (C, T) block at 5400 sps; returns completed frames."""
         x = device_put_safe(np.asarray(samples, dtype=np.complex64))
-        num_steps = int((x.shape[1] - HALO) // C.SPS)
+        num_steps = int(x.shape[1] // C.SPS)   # x is the raw block; the
+        # carried HALO tail is prepended inside channel_step
         if self.dumps is not None:       # --datadumps debug taps
             self.dumps.write('chan_out', device_get(x))
             _, y_dbg, lvl_dbg = agc_block(self.agc_state, x)

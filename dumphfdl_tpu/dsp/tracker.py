@@ -42,7 +42,9 @@ A1_SEARCH, A2_SEARCH, M1_SEARCH, M2_SKIP, EQ_TRAIN, DATA_1, DATA_2 = range(1, 8)
 # --- interpolator geometry ---
 NPHASES = 32
 ITAPS = 8          # interpolation taps
-HALO = 24          # input halo kept between blocks (samples at 5400)
+HALO_FRONT = 24    # window margin before the first processed sample
+HALO_BACK = 12     # margin after the last processed sample
+HALO = HALO_FRONT + HALO_BACK   # carried tail between blocks (36)
 
 _TS_CORRECTION_SYMBOLS = C.PREKEY_LEN + 2 * C.A_LEN  # timestamp backdate (hfdl.c:658)
 
@@ -143,7 +145,7 @@ def tracker_init(num_channels: int) -> TrackerState:
     c = num_channels
     z = lambda dt=jnp.int32: jnp.zeros((c,), dtype=dt)
     return TrackerState(
-        tau=jnp.full((c,), float(HALO), dtype=jnp.float32),
+        tau=jnp.full((c,), float(HALO_FRONT), dtype=jnp.float32),
         rate=z(jnp.float32),
         out_idx=z(),
         phi=z(jnp.float32),
@@ -223,6 +225,23 @@ def tracker_block(state: TrackerState,
     T = x.shape[1]
     cidx = jnp.arange(x.shape[0])
 
+    # ---- per-block channel alignment -------------------------------------
+    # One per-channel gather per BLOCK aligns every channel's timing offset
+    # to ~0, so the in-scan interpolator reads a single shared slab per
+    # symbol (scalar-index dynamic slice) instead of per-channel gathers,
+    # which dominate the scan cost on TPU.
+    SLAB = 16
+    shift = jnp.clip(jnp.round(state.tau).astype(jnp.int32) - HALO_FRONT,
+                     -8, 8)
+    x_pad = jnp.pad(x, ((0, 0), (8, SLAB)))
+    lvl_pad = jnp.pad(level, ((0, 0), (8, SLAB)), mode='edge')
+    t_al = T + 8
+    x_al = jax.vmap(lambda row, sh: jax.lax.dynamic_slice(
+        row, (sh + 8,), (t_al,)))(x_pad, shift)
+    lvl_al = jax.vmap(lambda row, sh: jax.lax.dynamic_slice(
+        row, (sh + 8,), (t_al,)))(lvl_pad, shift)
+    state = state._replace(tau=state.tau - shift.astype(jnp.float32))
+
     base_step = C.SPS / C.SYMSYNC_OUT_RATE      # 1.5 input samples per step
     # 2nd-order timing loop gains from loop bw (symsync_crcf_set_lf_bw 0.001)
     bw = C.SYMSYNC_LOOP_BW
@@ -231,29 +250,52 @@ def tracker_block(state: TrackerState,
     k1 = 4 * zeta * bw / denom
     k2 = 4 * bw * bw / denom
 
-    def interp(tau):
+    phase_iota = jnp.arange(NPHASES + 1, dtype=jnp.int32)[None, :]  # (1, 33)
+    lane_iota = jnp.arange(SLAB, dtype=jnp.int32)[None, :]          # (1, 16)
+
+    def taps_for(phase, bank):
+        """(C,) phase indices -> (C, ITAPS) taps via one-hot matmul
+        (per-channel table gathers are slow on TPU)."""
+        oh = (phase[:, None] == phase_iota).astype(jnp.float32)     # (C, 33)
+        return oh @ bank                                            # (C, 8)
+
+    def interp_slab(tau, slab, base, want_deriv):
+        """Interpolate every channel at its own tau from the shared slab."""
         i = jnp.floor(tau).astype(jnp.int32)
         mu = tau - i.astype(jnp.float32)
-        i = jnp.clip(i, ITAPS // 2 - 1, T - ITAPS // 2 - 1)
-        start = i - (ITAPS // 2 - 1)
-        win = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (ITAPS,)))(x, start)
+        off = jnp.clip(i - base, 3, 8)                              # (C,)
         phase = jnp.round(mu * NPHASES).astype(jnp.int32)
-        return win, h_bank[phase], dh_bank[phase], i
+        taps = taps_for(phase, h_bank)                              # (C, 8)
+        w16 = jnp.zeros(slab.shape, jnp.float32)
+        start = (off - 3)[:, None]
+        for j in range(ITAPS):
+            w16 = jnp.where(lane_iota == start + j, taps[:, j:j + 1], w16)
+        y = jnp.sum(slab * w16, axis=-1)
+        if not want_deriv:
+            return y
+        dtaps = taps_for(phase, dh_bank)
+        dw16 = jnp.zeros(slab.shape, jnp.float32)
+        for j in range(ITAPS):
+            dw16 = jnp.where(lane_iota == start + j, dtaps[:, j:j + 1], dw16)
+        ydot = jnp.sum(slab * dw16, axis=-1)
+        return y, ydot
 
-    def step(carry, _):
+    def step(carry, t):
         """One full symbol: even half-step (timing strobe) + odd half-step
         (demod).  Fusing both halves halves the scan length and drops the
         per-step parity masking (reference processes them serially at
         hfdl.c:708-718)."""
         st, carry_aux = carry
+        # shared slab for this symbol: covers both half-step windows for
+        # every channel (alignment keeps per-channel offsets within +-2)
+        base = 3 * t + (HALO_FRONT - 5)
+        slab = jax.lax.dynamic_slice(x_al, (0, base), (x_al.shape[0], SLAB))
         # ===== even half-step: interpolate, ML TED, costas step, EQ push ===
         # The TED strobes EVEN output steps: the initial equalizer's 7-step
         # (odd) group delay maps odd-step demod onto even-step samples, so
         # even steps must sit on the matched-filter peaks (mirrors the
         # liquid symsync + eqlms delay chain of the reference).
-        win, hw, dhw, i_e = interp(st.tau)
-        y_e = jnp.sum(win * hw, axis=-1)
-        ydot = jnp.sum(win * dhw, axis=-1)
+        y_e, ydot = interp_slab(st.tau - base.astype(jnp.float32) + base, slab, base, True)
         q = jnp.clip(y_e.real * ydot.real + y_e.imag * ydot.imag, -1.0, 1.0)
         rate = st.rate + k2 * q
         tau_o = st.tau + base_step + k1 * q + rate
@@ -271,12 +313,14 @@ def tracker_block(state: TrackerState,
         dphi = jnp.where(runaway, 0.0, st.dphi)
         rate = jnp.where(runaway, 0.0, rate)
         # ===== odd half-step: interpolate, costas, EQ push, demod ==========
-        win_o, hw_o, _, i_o = interp(tau_o)
-        y_o = jnp.sum(win_o * hw_o, axis=-1)
+        y_o = interp_slab(tau_o, slab, base, False)
         tau_next = tau_o + base_step + rate
         phi = costas_step(phi, dphi)
         v_o = y_o * jnp.exp(-1j * phi)
-        lvl = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (1,)))(level, i_o)[:, 0]
+        # AGC level at the shared slab center (level varies over ~100
+        # samples; the +-2 sample approximation is negligible)
+        lvl = jax.lax.dynamic_slice(lvl_al, (0, base + 6),
+                                    (x_al.shape[0], 1))[:, 0]
         eq_buf = jnp.concatenate([st.eq_buf[:, 2:], v_e[:, None],
                                   v_o[:, None]], axis=1)
 
@@ -505,9 +549,11 @@ def tracker_block(state: TrackerState,
     ev_count0 = jnp.zeros((c,), jnp.int32)
     counters0 = jnp.zeros((c, 3), jnp.float32)
     (final, (ev_table, _, counters)), outs = jax.lax.scan(
-        step, (state, (ev_table0, ev_count0, counters0)), None,
-        length=num_steps)
-    # rebase tau for the next block: caller prepends the last HALO samples
-    final = final._replace(tau=final.tau - (T - HALO))
+        step, (state, (ev_table0, ev_count0, counters0)),
+        jnp.arange(num_steps, dtype=jnp.int32))
+    # undo the alignment shift, then rebase tau for the next block
+    # (caller prepends the last HALO samples)
+    final = final._replace(
+        tau=final.tau + shift.astype(jnp.float32) - (T - HALO))
     ev_out = ev_table[:, :K_EVENTS].reshape(c, K_EVENTS * EV_FIELDS)
     return final, outs, ev_out, counters

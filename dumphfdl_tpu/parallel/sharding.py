@@ -55,7 +55,7 @@ def build_config(mesh: Mesh, frames_per_shard: int = 2,
     geo = fe.compute_geometry(decimation=8, transition_bw=0.1)
     num_channels = mesh.shape['chan'] * channels_per_shard
     demod_block = 96
-    num_steps = (demod_block - HALO) // C.SPS
+    num_steps = demod_block // C.SPS
     return ShardedDecodeConfig(geo, num_channels, frames_per_shard,
                                demod_block, num_steps)
 
@@ -107,12 +107,12 @@ def sharded_decode_step(mesh: Mesh, cfg: ShardedDecodeConfig):
         nb_block = jax.lax.dynamic_slice(
             nb, (0, 0), (nb.shape[0], cfg.demod_block))
         (agc_state, trk_state, framebuf, tail, lvl_tail, outs,
-         _ev_table, _counters) = channel_step(
+         ev_table, _counters) = channel_step(
             agc_state, trk_state, framebuf, tail, lvl_tail, nb_block,
             cfg.num_steps)
         # --- 5. cross-chip reduction: wideband power psum'd over 'chan'
         power = jax.lax.psum(jnp.sum(jnp.abs(spec) ** 2), 'chan')
-        emitted = jnp.sum(outs.emit.astype(jnp.int32))
+        emitted = jnp.sum(ev_table[:, 0].astype(jnp.int32))
         return (agc_state, trk_state, framebuf, tail, lvl_tail,
                 power[None], emitted[None])
 
