@@ -214,6 +214,10 @@ def _parse_arinc622(text: str, raw: bytes, msg_dir: str) -> ProtoNode | None:
         from . import adsc as adsc_mod
         # the last 2 octets are the ARINC-622 application CRC
         node.next = adsc_mod.parse(payload[:-2])
+    elif imi == 'AT1' and len(payload) > 2:
+        from . import cpdlc as cpdlc_mod
+        node.next = cpdlc_mod.parse(payload[:-2],
+                                    uplink=(msg_dir == 'gnd2air'))
     return node
 
 

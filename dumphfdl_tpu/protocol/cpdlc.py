@@ -1,0 +1,466 @@
+"""CPDLC (FANS-1/A) decoder for ARINC-622 'AT1' payloads.
+
+The reference delegates CPDLC decoding to libacars (the HFDL tree shows
+libacars' FANS-1/A output under ACARS nodes; /root/reference/src/acars.c:28
+calls la_acars_parse_and_reassemble which dispatches ARINC-622 IMIs).
+This is an independent reimplementation of the subset that matters for
+HFDL monitoring: the ATC message header (message id / message ref /
+timestamp) and the message element identifiers with their standard
+FANS-1/A phraseology, from the DO-258A ASN.1 (unaligned PER).
+
+Wire format notes (unaligned PER, no extension markers in FANS-1/A):
+
+  ATCDownlinkMessage ::= SEQUENCE { header, messageData }
+  ATCMessageHeader   ::= SEQUENCE {
+      msgIdentificationNumber INTEGER (0..63),       -- 6 bits
+      msgReferenceNumber      INTEGER (0..63) OPTIONAL,
+      timestamp               Timestamp OPTIONAL }   -- 5+6+6 bits
+  messageData ::= SEQUENCE SIZE (1..5) OF MsgElementId  -- 3-bit count
+  ATCUplinkMsgElementId   ::= CHOICE of 183 alternatives  -- 8-bit index
+  ATCDownlinkMsgElementId ::= CHOICE of 81 alternatives   -- 7-bit index
+
+Element *arguments* are not decoded (they are a large ASN.1 surface);
+elements whose argument type is NULL decode fully and allow the walk to
+continue to subsequent elements, otherwise the remaining bits are
+surfaced raw.  Round-trip tested against the encoder below; not yet
+validated bit-for-bit against libacars on an off-air capture (see
+NOTES.md).
+"""
+
+from __future__ import annotations
+
+from .tree import ProtoNode, iprintf
+
+
+class BitReader:
+    """MSB-first bit reader for unaligned PER."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0          # bit position
+
+    def remaining(self) -> int:
+        return len(self.buf) * 8 - self.pos
+
+    def read(self, nbits: int) -> int:
+        if nbits > self.remaining():
+            raise ValueError('out of bits')
+        val = 0
+        pos = self.pos
+        for _ in range(nbits):
+            byte = self.buf[pos >> 3]
+            val = (val << 1) | ((byte >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return val
+
+
+class BitWriter:
+    """MSB-first bit writer (test-vector encoder)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (7 - (i & 7))
+        return bytes(out)
+
+
+# --- FANS-1/A message element phraseology (DO-258A) ---
+# Uplink: uM0..uM182 (183 alternatives -> 8-bit choice index).
+
+UPLINK_MSG = {
+    0: 'UNABLE', 1: 'STANDBY', 2: 'REQUEST DEFERRED', 3: 'ROGER',
+    4: 'AFFIRM', 5: 'NEGATIVE',
+    6: 'EXPECT [altitude]',
+    7: 'EXPECT CLIMB AT [time]', 8: 'EXPECT CLIMB AT [position]',
+    9: 'EXPECT DESCENT AT [time]', 10: 'EXPECT DESCENT AT [position]',
+    11: 'EXPECT CRUISE CLIMB AT [time]',
+    12: 'EXPECT CRUISE CLIMB AT [position]',
+    13: 'AT [time] EXPECT CLIMB TO [altitude]',
+    14: 'AT [position] EXPECT CLIMB TO [altitude]',
+    15: 'AT [time] EXPECT DESCENT TO [altitude]',
+    16: 'AT [position] EXPECT DESCENT TO [altitude]',
+    17: 'AT [time] EXPECT CRUISE CLIMB TO [altitude]',
+    18: 'AT [position] EXPECT CRUISE CLIMB TO [altitude]',
+    19: 'MAINTAIN [altitude]',
+    20: 'CLIMB TO AND MAINTAIN [altitude]',
+    21: 'AT [time] CLIMB TO AND MAINTAIN [altitude]',
+    22: 'AT [position] CLIMB TO AND MAINTAIN [altitude]',
+    23: 'DESCEND TO AND MAINTAIN [altitude]',
+    24: 'AT [time] DESCEND TO AND MAINTAIN [altitude]',
+    25: 'AT [position] DESCEND TO AND MAINTAIN [altitude]',
+    26: 'CLIMB TO REACH [altitude] BY [time]',
+    27: 'CLIMB TO REACH [altitude] BY [position]',
+    28: 'DESCEND TO REACH [altitude] BY [time]',
+    29: 'DESCEND TO REACH [altitude] BY [position]',
+    30: 'MAINTAIN BLOCK [altitude] TO [altitude]',
+    31: 'CLIMB TO AND MAINTAIN BLOCK [altitude] TO [altitude]',
+    32: 'DESCEND TO AND MAINTAIN BLOCK [altitude] TO [altitude]',
+    33: 'CRUISE [altitude]',
+    34: 'CRUISE CLIMB TO [altitude]',
+    35: 'CRUISE CLIMB ABOVE [altitude]',
+    36: 'EXPEDITE CLIMB TO [altitude]',
+    37: 'EXPEDITE DESCENT TO [altitude]',
+    38: 'IMMEDIATELY CLIMB TO [altitude]',
+    39: 'IMMEDIATELY DESCEND TO [altitude]',
+    40: 'IMMEDIATELY STOP CLIMB AT [altitude]',
+    41: 'IMMEDIATELY STOP DESCENT AT [altitude]',
+    42: 'EXPECT TO CROSS [position] AT [altitude]',
+    43: 'EXPECT TO CROSS [position] AT OR ABOVE [altitude]',
+    44: 'EXPECT TO CROSS [position] AT OR BELOW [altitude]',
+    45: 'EXPECT TO CROSS [position] AT AND MAINTAIN [altitude]',
+    46: 'CROSS [position] AT [altitude]',
+    47: 'CROSS [position] AT OR ABOVE [altitude]',
+    48: 'CROSS [position] AT OR BELOW [altitude]',
+    49: 'CROSS [position] AT AND MAINTAIN [altitude]',
+    50: 'CROSS [position] BETWEEN [altitude] AND [altitude]',
+    51: 'CROSS [position] AT [time]',
+    52: 'CROSS [position] AT OR BEFORE [time]',
+    53: 'CROSS [position] AT OR AFTER [time]',
+    54: 'CROSS [position] BETWEEN [time] AND [time]',
+    55: 'CROSS [position] AT [speed]',
+    56: 'CROSS [position] AT OR LESS THAN [speed]',
+    57: 'CROSS [position] AT OR GREATER THAN [speed]',
+    58: 'CROSS [position] AT [time] AT [altitude]',
+    59: 'CROSS [position] AT OR BEFORE [time] AT [altitude]',
+    60: 'CROSS [position] AT OR AFTER [time] AT [altitude]',
+    61: 'CROSS [position] AT AND MAINTAIN [altitude] AT [speed]',
+    62: 'AT [time] CROSS [position] AT AND MAINTAIN [altitude]',
+    63: 'AT [time] CROSS [position] AT AND MAINTAIN [altitude] AT [speed]',
+    64: 'OFFSET [distance offset] [direction] OF ROUTE',
+    65: 'AT [position] OFFSET [distance offset] [direction] OF ROUTE',
+    66: 'AT [time] OFFSET [distance offset] [direction] OF ROUTE',
+    67: 'PROCEED BACK ON ROUTE',
+    68: 'REJOIN ROUTE BY [position]',
+    69: 'REJOIN ROUTE BY [time]',
+    70: 'EXPECT BACK ON ROUTE BY [position]',
+    71: 'EXPECT BACK ON ROUTE BY [time]',
+    72: 'RESUME OWN NAVIGATION',
+    73: '[predeparture clearance]',
+    74: 'PROCEED DIRECT TO [position]',
+    75: 'WHEN ABLE PROCEED DIRECT TO [position]',
+    76: 'AT [time] PROCEED DIRECT TO [position]',
+    77: 'AT [position] PROCEED DIRECT TO [position]',
+    78: 'AT [altitude] PROCEED DIRECT TO [position]',
+    79: 'CLEARED TO [position] VIA [route clearance]',
+    80: 'CLEARED [route clearance]',
+    81: 'CLEARED [procedure name]',
+    82: 'CLEARED TO DEVIATE UP TO [distance offset] [direction] OF ROUTE',
+    83: 'AT [position] CLEARED [route clearance]',
+    84: 'AT [position] CLEARED [procedure name]',
+    85: 'EXPECT [route clearance]',
+    86: 'AT [position] EXPECT [route clearance]',
+    87: 'EXPECT DIRECT TO [position]',
+    88: 'AT [position] EXPECT DIRECT TO [position]',
+    89: 'AT [time] EXPECT DIRECT TO [position]',
+    90: 'AT [altitude] EXPECT DIRECT TO [position]',
+    91: 'HOLD AT [position] MAINTAIN [altitude] INBOUND TRACK [degrees] '
+        '[direction] TURNS [leg type]',
+    92: 'HOLD AT [position] AS PUBLISHED MAINTAIN [altitude]',
+    93: 'EXPECT FURTHER CLEARANCE AT [time]',
+    94: 'TURN [direction] HEADING [degrees]',
+    95: 'TURN [direction] GROUND TRACK [degrees]',
+    96: 'FLY PRESENT HEADING',
+    97: 'AT [position] FLY HEADING [degrees]',
+    98: 'IMMEDIATELY TURN [direction] HEADING [degrees]',
+    99: 'EXPECT [procedure name]',
+    100: 'AT [time] EXPECT [speed]',
+    101: 'AT [position] EXPECT [speed]',
+    102: 'AT [altitude] EXPECT [speed]',
+    103: 'AT [time] EXPECT [speed] TO [speed]',
+    104: 'AT [position] EXPECT [speed] TO [speed]',
+    105: 'AT [altitude] EXPECT [speed] TO [speed]',
+    106: 'MAINTAIN [speed]',
+    107: 'MAINTAIN PRESENT SPEED',
+    108: 'MAINTAIN [speed] OR GREATER',
+    109: 'MAINTAIN [speed] OR LESS',
+    110: 'MAINTAIN [speed] TO [speed]',
+    111: 'INCREASE SPEED TO [speed]',
+    112: 'INCREASE SPEED TO [speed] OR GREATER',
+    113: 'REDUCE SPEED TO [speed]',
+    114: 'REDUCE SPEED TO [speed] OR LESS',
+    115: 'DO NOT EXCEED [speed]',
+    116: 'RESUME NORMAL SPEED',
+    117: 'CONTACT [icao unit name] [frequency]',
+    118: 'AT [position] CONTACT [icao unit name] [frequency]',
+    119: 'AT [time] CONTACT [icao unit name] [frequency]',
+    120: 'MONITOR [icao unit name] [frequency]',
+    121: 'AT [position] MONITOR [icao unit name] [frequency]',
+    122: 'AT [time] MONITOR [icao unit name] [frequency]',
+    123: 'SQUAWK [beacon code]',
+    124: 'STOP SQUAWK',
+    125: 'SQUAWK ALTITUDE',
+    126: 'STOP ALTITUDE SQUAWK',
+    127: 'REPORT BACK ON ROUTE',
+    128: 'REPORT LEAVING [altitude]',
+    129: 'REPORT LEVEL [altitude]',
+    130: 'REPORT PASSING [position]',
+    131: 'REPORT REMAINING FUEL AND SOULS ON BOARD',
+    132: 'CONFIRM POSITION',
+    133: 'CONFIRM ALTITUDE',
+    134: 'CONFIRM SPEED',
+    135: 'CONFIRM ASSIGNED ALTITUDE',
+    136: 'CONFIRM ASSIGNED SPEED',
+    137: 'CONFIRM ASSIGNED ROUTE',
+    138: 'CONFIRM TIME OVER REPORTED WAYPOINT',
+    139: 'CONFIRM REPORTED WAYPOINT',
+    140: 'CONFIRM NEXT WAYPOINT',
+    141: 'CONFIRM NEXT WAYPOINT ETA',
+    142: 'CONFIRM ENSUING WAYPOINT',
+    143: 'CONFIRM REQUEST',
+    144: 'CONFIRM SQUAWK',
+    145: 'CONFIRM HEADING',
+    146: 'CONFIRM GROUND TRACK',
+    147: 'REQUEST POSITION REPORT',
+    148: 'WHEN CAN YOU ACCEPT [altitude]',
+    149: 'CAN YOU ACCEPT [altitude] AT [position]',
+    150: 'CAN YOU ACCEPT [altitude] AT [time]',
+    151: 'WHEN CAN YOU ACCEPT [speed]',
+    152: 'WHEN CAN YOU ACCEPT [distance offset] [direction] OFFSET',
+    153: 'ALTIMETER [altimeter]',
+    154: 'RADAR SERVICES TERMINATED',
+    155: 'RADAR CONTACT [position]',
+    156: 'RADAR CONTACT LOST',
+    157: 'CHECK STUCK MICROPHONE [frequency]',
+    158: 'ATIS [atis code]',
+    159: 'ERROR [error information]',
+    160: 'NEXT DATA AUTHORITY [icao facility designation]',
+    161: 'END SERVICE',
+    162: 'SERVICE UNAVAILABLE',
+    163: '[icao facility designation]',
+    164: 'WHEN READY',
+    165: 'THEN',
+    166: 'DUE TO TRAFFIC',
+    167: 'DUE TO AIRSPACE RESTRICTION',
+    168: 'DISREGARD',
+    169: '[free text]',
+    170: '[free text]',
+    171: 'CLIMB AT [vertical rate] MINIMUM',
+    172: 'CLIMB AT [vertical rate] MAXIMUM',
+    173: 'DESCEND AT [vertical rate] MINIMUM',
+    174: 'DESCEND AT [vertical rate] MAXIMUM',
+    175: 'REPORT REACHING [altitude]',
+    176: 'MAINTAIN OWN SEPARATION AND VMC',
+    177: 'AT PILOTS DISCRETION',
+    178: '[reserved]',
+    179: 'SQUAWK IDENT',
+    180: 'REPORT REACHING BLOCK [altitude] TO [altitude]',
+    181: 'REPORT DISTANCE [to/from] [position]',
+    182: 'CONFIRM ATIS CODE',
+}
+
+# Downlink: dM0..dM80 (81 alternatives -> 7-bit choice index).
+DOWNLINK_MSG = {
+    0: 'WILCO', 1: 'UNABLE', 2: 'STANDBY', 3: 'ROGER', 4: 'AFFIRM',
+    5: 'NEGATIVE',
+    6: 'REQUEST [altitude]',
+    7: 'REQUEST BLOCK [altitude] TO [altitude]',
+    8: 'REQUEST CRUISE CLIMB TO [altitude]',
+    9: 'REQUEST CLIMB TO [altitude]',
+    10: 'REQUEST DESCENT TO [altitude]',
+    11: 'AT [position] REQUEST CLIMB TO [altitude]',
+    12: 'AT [position] REQUEST DESCENT TO [altitude]',
+    13: 'AT [time] REQUEST CLIMB TO [altitude]',
+    14: 'AT [time] REQUEST DESCENT TO [altitude]',
+    15: 'REQUEST OFFSET [distance offset] [direction] OF ROUTE',
+    16: 'AT [position] REQUEST OFFSET [distance offset] [direction] '
+        'OF ROUTE',
+    17: 'AT [time] REQUEST OFFSET [distance offset] [direction] OF ROUTE',
+    18: 'REQUEST [speed]',
+    19: 'REQUEST [speed] TO [speed]',
+    20: 'REQUEST VOICE CONTACT',
+    21: 'REQUEST VOICE CONTACT [frequency]',
+    22: 'REQUEST DIRECT TO [position]',
+    23: 'REQUEST [procedure name]',
+    24: 'REQUEST [route clearance]',
+    25: 'REQUEST CLEARANCE',
+    26: 'REQUEST WEATHER DEVIATION TO [position] VIA [route clearance]',
+    27: 'REQUEST WEATHER DEVIATION UP TO [distance offset] [direction] '
+        'OF ROUTE',
+    28: 'LEAVING [altitude]',
+    29: 'CLIMBING TO [altitude]',
+    30: 'DESCENDING TO [altitude]',
+    31: 'PASSING [position]',
+    32: 'PRESENT ALTITUDE [altitude]',
+    33: 'PRESENT POSITION [position]',
+    34: 'PRESENT SPEED [speed]',
+    35: 'PRESENT HEADING [degrees]',
+    36: 'PRESENT GROUND TRACK [degrees]',
+    37: 'LEVEL [altitude]',
+    38: 'ASSIGNED ALTITUDE [altitude]',
+    39: 'ASSIGNED SPEED [speed]',
+    40: 'ASSIGNED ROUTE [route clearance]',
+    41: 'BACK ON ROUTE',
+    42: 'NEXT WAYPOINT [position]',
+    43: 'NEXT WAYPOINT ETA [time]',
+    44: 'ENSUING WAYPOINT [position]',
+    45: 'REPORTED WAYPOINT [position]',
+    46: 'REPORTED WAYPOINT [time]',
+    47: 'SQUAWKING [beacon code]',
+    48: 'POSITION REPORT [position report]',
+    49: 'WHEN CAN WE EXPECT [speed]',
+    50: 'WHEN CAN WE EXPECT [speed] TO [speed]',
+    51: 'WHEN CAN WE EXPECT BACK ON ROUTE',
+    52: 'WHEN CAN WE EXPECT LOWER ALTITUDE',
+    53: 'WHEN CAN WE EXPECT HIGHER ALTITUDE',
+    54: 'WHEN CAN WE EXPECT CRUISE CLIMB TO [altitude]',
+    55: 'PAN PAN PAN',
+    56: 'MAYDAY MAYDAY MAYDAY',
+    57: '[remaining fuel] OF FUEL REMAINING AND [souls] SOULS ON BOARD',
+    58: 'CANCEL EMERGENCY',
+    59: 'DIVERTING TO [position] VIA [route clearance]',
+    60: 'OFFSETTING [distance offset] [direction] OF ROUTE',
+    61: 'DESCENDING TO [altitude]',
+    62: 'ERROR [error information]',
+    63: 'NOT CURRENT DATA AUTHORITY',
+    64: '[icao facility designation]',
+    65: 'DUE TO WEATHER',
+    66: 'DUE TO AIRCRAFT PERFORMANCE',
+    67: '[free text]',
+    68: '[free text]',
+    69: 'REQUEST VMC DESCENT',
+    70: 'REQUEST HEADING [degrees]',
+    71: 'REQUEST GROUND TRACK [degrees]',
+    72: 'REACHING [altitude]',
+    73: '[version number]',
+    74: 'MAINTAIN OWN SEPARATION AND VMC',
+    75: 'AT PILOTS DISCRETION',
+    76: 'REACHING BLOCK [altitude] TO [altitude]',
+    77: 'ASSIGNED BLOCK [altitude] TO [altitude]',
+    78: 'AT [time] [distance] [to/from] [position]',
+    79: 'ATIS [atis code]',
+    80: 'DEVIATING [distance offset] [direction] OF ROUTE',
+}
+
+# Elements whose argument type is NULL: decoding can continue past them.
+UPLINK_NULL = frozenset({
+    0, 1, 2, 3, 4, 5, 67, 72, 96, 107, 116, 124, 125, 126, 127, 131,
+    132, 133, 134, 135, 136, 137, 138, 139, 140, 141, 142, 143, 144,
+    145, 146, 147, 154, 156, 161, 162, 164, 165, 166, 167, 168, 176,
+    177, 179, 182,
+})
+DOWNLINK_NULL = frozenset({
+    0, 1, 2, 3, 4, 5, 20, 25, 41, 51, 52, 53, 55, 56, 58, 63, 65, 66,
+    69, 74, 75,
+})
+
+UPLINK_CHOICE_BITS = 8       # 183 alternatives
+DOWNLINK_CHOICE_BITS = 7     # 81 alternatives
+UPLINK_COUNT = 183
+DOWNLINK_COUNT = 81
+
+
+def parse(payload: bytes, uplink: bool) -> ProtoNode | None:
+    """Decode a FANS-1/A ATCUplinkMessage / ATCDownlinkMessage."""
+    data: dict = {'err': False, 'dir': 'uplink' if uplink else 'downlink'}
+    node = ProtoNode('cpdlc', data)
+    node.text_formatter = _fmt
+    node.json_formatter = _js
+    rd = BitReader(payload)
+    try:
+        has_ref = rd.read(1)
+        has_ts = rd.read(1)
+        data['min'] = rd.read(6)
+        if has_ref:
+            data['mrn'] = rd.read(6)
+        if has_ts:
+            h, m, s = rd.read(5), rd.read(6), rd.read(6)
+            data['timestamp'] = f'{h:02d}:{m:02d}:{s:02d}'
+        count = rd.read(3) + 1
+        if count > 5:
+            raise ValueError('bad element count')
+        names = UPLINK_MSG if uplink else DOWNLINK_MSG
+        nulls = UPLINK_NULL if uplink else DOWNLINK_NULL
+        nbits = UPLINK_CHOICE_BITS if uplink else DOWNLINK_CHOICE_BITS
+        limit = UPLINK_COUNT if uplink else DOWNLINK_COUNT
+        prefix = 'uM' if uplink else 'dM'
+        elements = []
+        for i in range(count):
+            idx = rd.read(nbits)
+            if idx >= limit:
+                raise ValueError('bad choice index')
+            el = {'id': f'{prefix}{idx}',
+                  'text': names.get(idx, f'{prefix}{idx}')}
+            if idx not in nulls:
+                # argument bits follow; not decoded -> stop the walk
+                rem = rd.remaining()
+                if rem > 0:
+                    el['arg_bits'] = rem
+                    bits = BitWriter()
+                    while rd.remaining() >= 8:
+                        bits.write(rd.read(8), 8)
+                    tail = rd.remaining()
+                    if tail:
+                        bits.write(rd.read(tail) << (8 - tail), 8)
+                    el['arg_raw'] = bits.tobytes().hex()
+                elements.append(el)
+                if i + 1 < count:
+                    data['undecoded_elements'] = count - i - 1
+                break
+            elements.append(el)
+        data['elements'] = elements
+    except ValueError:
+        data['err'] = True
+    return node
+
+
+def encode(uplink: bool, min_: int, elements: list[int],
+           mrn: int | None = None,
+           timestamp: tuple[int, int, int] | None = None,
+           arg_bits: tuple[int, int] | None = None) -> bytes:
+    """Encode a CPDLC message (test-vector generator)."""
+    w = BitWriter()
+    w.write(1 if mrn is not None else 0, 1)
+    w.write(1 if timestamp is not None else 0, 1)
+    w.write(min_, 6)
+    if mrn is not None:
+        w.write(mrn, 6)
+    if timestamp is not None:
+        h, m, s = timestamp
+        w.write(h, 5)
+        w.write(m, 6)
+        w.write(s, 6)
+    w.write(len(elements) - 1, 3)
+    nbits = UPLINK_CHOICE_BITS if uplink else DOWNLINK_CHOICE_BITS
+    for idx in elements:
+        w.write(idx, nbits)
+    if arg_bits is not None:
+        val, n = arg_bits
+        w.write(val, n)
+    return w.tobytes()
+
+
+def _fmt(n: ProtoNode, lines: list[str], indent: int) -> None:
+    d = n.data
+    iprintf(lines, indent, 'CPDLC %s message:'
+            % ('uplink' if d['dir'] == 'uplink' else 'downlink'))
+    indent += 1
+    if d['err']:
+        iprintf(lines, indent, '-- Unparseable CPDLC message')
+        return
+    hdr = f"Msg ID: {d['min']}"
+    if 'mrn' in d:
+        hdr += f" Msg Ref: {d['mrn']}"
+    if 'timestamp' in d:
+        hdr += f" Timestamp: {d['timestamp']}"
+    iprintf(lines, indent, hdr)
+    for el in d['elements']:
+        iprintf(lines, indent, f"{el['id']}: {el['text']}")
+        if 'arg_raw' in el:
+            iprintf(lines, indent + 1, f"Arguments (undecoded): "
+                    f"{el['arg_raw']}")
+    if d.get('undecoded_elements'):
+        iprintf(lines, indent,
+                f"({d['undecoded_elements']} further element(s) follow "
+                f"the undecoded arguments)")
+
+
+def _js(n: ProtoNode) -> dict:
+    return dict(n.data)
