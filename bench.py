@@ -60,22 +60,26 @@ while not healthy():
     time.sleep(15)
 
 from dumphfdl_tpu.dsp.channel import ChannelBank
+from dumphfdl_tpu.utils.prefetch import device_prefetch
 
 num_channels = int(os.environ.get('BENCH_CHANNELS', '128'))
 block = 5400 * 2
 bank = ChannelBank(num_channels)
 rng = np.random.default_rng(0)
-x = (rng.standard_normal((num_channels, block))
-     + 1j * rng.standard_normal((num_channels, block))
-     ).astype(np.complex64) * 0.1
+# distinct blocks, streamed like the real-time path: int16-packed upload
+# (CS16-equivalent precision) overlapped with compute via prefetch
+blocks = [(rng.standard_normal((num_channels, block))
+           + 1j * rng.standard_normal((num_channels, block))
+           ).astype(np.complex64) * 0.1 for _ in range(4)]
 t0 = time.time()
-bank.process(x)           # compile
+bank.process(next(iter(device_prefetch([blocks[0]]))))     # compile
 print(f'# compile+first block: {time.time()-t0:.1f}s', file=sys.stderr, flush=True)
-bank.process(x)           # warm
-n = 8
+bank.process(next(iter(device_prefetch([blocks[1]]))))     # warm
+n = 12
+stream = (blocks[i % len(blocks)] for i in range(n))
 t0 = time.time()
-for _ in range(n):
-    bank.process(x)
+for xd in device_prefetch(stream):
+    bank.process(xd)
 wall = time.time() - t0
 chan_sps = n * num_channels * block / wall
 print(json.dumps({'platform': platform, 'chan_sps': chan_sps,

@@ -107,6 +107,22 @@ def build_app(args) -> HfdlApp:
         raise SystemExit('error: --sample-rate is required')
     freqs_hz = [int(round(f * 1000)) for f in args.frequencies]
 
+    # multi-host deployment (DUMPHFDL_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID):
+    # one logical mesh across hosts; each host ingests + demodulates its
+    # contiguous slice of the channel list and runs its own output stack
+    # (the sharded-mesh counterpart of the reference's N-instances-plus-ZMQ
+    # aggregator deployment, README.md:969).
+    from .parallel import multihost
+    if multihost.init_distributed():
+        sl = multihost.local_channel_slice(len(freqs_hz))
+        import jax
+        print(f'multi-host: process {jax.process_index()}/'
+              f'{jax.process_count()}, channels [{sl.start}:{sl.stop}] '
+              f'of {len(freqs_hz)}', file=sys.stderr)
+        freqs_hz = freqs_hz[sl]
+        if not freqs_hz:
+            raise SystemExit('error: no channels assigned to this host')
+
     options = ProtocolOptions(
         output_raw_frames=args.raw_frames,
         output_mpdus=args.output_mpdus,

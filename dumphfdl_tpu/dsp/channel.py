@@ -161,8 +161,17 @@ def channel_step(agc_state: AgcState,
 
 @dataclasses.dataclass
 class ChannelBank:
-    """Streaming demodulator for a batch of channels at 5400 sps."""
+    """Streaming demodulator for a batch of channels at 5400 sps.
+
+    When more than one local device is visible (or an explicit mesh is
+    passed), the channel axis is sharded over them: channels are
+    embarrassingly parallel (SURVEY.md §2.9 -- the reference's
+    one-FFT-to-N-threads broadcast becomes a sharded batch axis), so the
+    fused demod step runs with zero collectives; only the event-table
+    readback gathers."""
     num_channels: int
+    mesh: object = None            # jax.sharding.Mesh with a 'chan' axis
+    auto_shard: bool = True        # shard over local devices when >1
     agc_state: AgcState = None
     tracker_state: TrackerState = None
     framebuf: jax.Array = None
@@ -172,16 +181,49 @@ class ChannelBank:
     dumps: object = None        # optional dumpfile.DumpSet for --datadumps
 
     def __post_init__(self):
-        c = self.num_channels
+        from ..utils.xfer import restricted_backend
+        if self.mesh is None and self.auto_shard \
+                and not restricted_backend() \
+                and len(jax.local_devices()) > 1:
+            from jax.sharding import Mesh
+            self.mesh = Mesh(np.asarray(jax.local_devices()), ('chan',))
+        ndev = 1
+        self._sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            ndev = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names
+                                if a == 'chan'])) or 1
+            self._sharding = NamedSharding(self.mesh, PartitionSpec('chan'))
+        # pad the channel axis to a multiple of the device count
+        self._c = -(-self.num_channels // ndev) * ndev
+        c = self._c
         self.agc_state = agc_init(c)
         self.tracker_state = tracker_init(c)
         self.framebuf = czeros((c, 2, C.DATA_SYMBOLS_MAX))
         self._tail = czeros((c, HALO))
         self._lvl_tail = jnp.ones((c, HALO), dtype=jnp.float32)
+        if self._sharding is not None:
+            place = lambda t: jax.device_put(t, self._sharding)
+            self.agc_state = jax.tree.map(place, self.agc_state)
+            self.tracker_state = jax.tree.map(place, self.tracker_state)
+            self.framebuf = place(self.framebuf)
+            self._tail = place(self._tail)
+            self._lvl_tail = place(self._lvl_tail)
 
     def process(self, samples: np.ndarray) -> list[FrameEvent]:
         """Feed a (C, T) block at 5400 sps; returns completed frames."""
-        x = device_put_safe(np.asarray(samples, dtype=np.complex64))
+        if isinstance(samples, jax.Array):
+            x = samples       # already device-resident (shape (C_pad, T))
+        else:
+            samples = np.asarray(samples, dtype=np.complex64)
+            if samples.shape[0] != self._c:       # pad dummy channels
+                pad = np.zeros((self._c - samples.shape[0],
+                                samples.shape[1]), np.complex64)
+                samples = np.concatenate([samples, pad], axis=0)
+            if self._sharding is not None:
+                x = jax.device_put(samples, self._sharding)
+            else:
+                x = device_put_safe(samples)
         num_steps = int(x.shape[1] // C.SPS)   # x is the raw block; the
         # carried HALO tail is prepended inside channel_step
         if self.dumps is not None:       # --datadumps debug taps
@@ -208,9 +250,9 @@ class ChannelBank:
         One small (C, K*F) float32 transfer per block; frame symbol data
         is gathered on-device in fixed-size batches only when events
         actually completed."""
-        table = device_get(ev_table).reshape(self.num_channels,
-                                             K_EVENTS, EV_FIELDS)
+        table = device_get(ev_table).reshape(self._c, K_EVENTS, EV_FIELDS)
         valid = table[:, :, 0] > 0.5
+        valid[self.num_channels:] = False      # padded dummy channels
         if not valid.any():
             return []
         chans, slots = np.nonzero(valid)

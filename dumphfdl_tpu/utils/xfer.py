@@ -88,6 +88,34 @@ def device_put_safe(x) -> jax.Array:
         else dev
 
 
+@functools.partial(jax.jit, static_argnames=('shape',))
+def _unpack_i16(packed, shape: tuple):
+    """(rows, 128) i32 of packed int16 pairs -> complex64 of `shape`.
+
+    Each i32 holds one sample: high 16 bits = re, low 16 = im (signed)."""
+    n = int(np.prod(shape, dtype=np.int64))
+    w = packed.reshape(-1)[:n]
+    re = jnp.right_shift(w, 16).astype(jnp.float32)
+    im = (jnp.right_shift(jnp.left_shift(w, 16), 16)).astype(jnp.float32)
+    return (jax.lax.complex(re, im) * (1.0 / 32767.0)).reshape(shape)
+
+
+def device_put_cs16(x: np.ndarray) -> jax.Array:
+    """Upload complex samples as packed int16 pairs (half the bytes of the
+    float32-pair route) and unpack on device.
+
+    Quantizes to CS16 precision (~90 dB SNR at full scale), i.e. no worse
+    than the reference's CS16 SDR input format (input-helpers.c:34-55);
+    inputs are expected normalized to [-1, 1] full scale and are clipped.
+    This is the fast path for bulk sample ingest on bandwidth-limited
+    interconnects; metadata/state still ride device_put_safe."""
+    x = np.asarray(x, np.complex64)
+    re = np.clip(np.round(x.real * 32767.0), -32768, 32767).astype(np.int32)
+    im = np.clip(np.round(x.imag * 32767.0), -32768, 32767).astype(np.int32)
+    packed = (re << 16) | (im & 0xFFFF)
+    return _unpack_i16(jnp.asarray(_pad_rows(packed.reshape(-1))), x.shape)
+
+
 def czeros(shape: tuple) -> jax.Array:
     """complex64 zeros.
 

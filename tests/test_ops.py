@@ -172,3 +172,37 @@ def test_bits_symbols_roundtrip():
         bits = rng.integers(0, 2, 30 * arity).astype(np.int8)
         syms = psk.bits_to_symbols(bits, arity)
         assert np.array_equal(psk.symbols_to_bits(syms, arity), bits)
+
+
+def test_device_put_cs16_roundtrip():
+    import numpy as np
+    from dumphfdl_tpu.utils.xfer import device_get, device_put_cs16
+    rng = np.random.default_rng(5)
+    x = (rng.uniform(-0.9, 0.9, 1000)
+         + 1j * rng.uniform(-0.9, 0.9, 1000)).astype(np.complex64)
+    x = x.reshape(4, 250)
+    y = device_get(device_put_cs16(x))
+    assert y.shape == x.shape
+    assert np.max(np.abs(y - x)) < 1.0 / 32000  # CS16 quantization step
+    # clipping beyond full scale
+    z = device_get(device_put_cs16(np.array([[2.0 + 2.0j]], np.complex64)))
+    assert abs(z[0, 0] - (1.0 + 1.0j)) < 1e-3
+
+
+def test_device_prefetch_order_and_error():
+    import numpy as np
+    import pytest
+    from dumphfdl_tpu.utils.prefetch import device_prefetch
+    from dumphfdl_tpu.utils.xfer import device_get
+    blocks = [np.full((2, 8), i / 10.0, np.complex64) for i in range(5)]
+    out = [device_get(b)[0, 0].real for b in device_prefetch(blocks)]
+    assert np.allclose(out, [0.0, 0.1, 0.2, 0.3, 0.4], atol=1e-4)
+
+    def bad():
+        yield blocks[0]
+        raise RuntimeError('source died')
+
+    it = device_prefetch(bad())
+    next(it)
+    with pytest.raises(RuntimeError, match='source died'):
+        list(it)

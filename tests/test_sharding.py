@@ -27,3 +27,40 @@ def test_mesh_shapes():
     assert m.shape['time'] * m.shape['chan'] == 8
     m1 = make_mesh(jax.devices()[:1])
     assert m1.shape['time'] == 1 and m1.shape['chan'] == 1
+
+
+def test_channelbank_sharded_matches_single():
+    """ChannelBank with an explicit 8-device channel mesh decodes the
+    same frame as the unsharded bank (padded dummy channels included)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from dumphfdl_tpu.dsp import modulator
+    from dumphfdl_tpu.dsp.channel import ChannelBank
+
+    mode = 1
+    rng = np.random.default_rng(123)
+    pdu = modulator.random_pdu(mode, rng)
+    syms = modulator.frame_symbols(pdu, mode)
+    iq = modulator.synthesize_iq(syms, pad_symbols=(300, 300)) * 0.5
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('chan',))
+    # 3 real channels -> padded to 8 internally; channel 1 gets the frame
+    banks = [ChannelBank(3, auto_shard=False),
+             ChannelBank(3, mesh=mesh)]
+    assert banks[1]._c == 8
+    results = []
+    for bank in banks:
+        events = []
+        for off in range(0, len(iq), 5400):
+            chunk = iq[off:off + 5400]
+            if len(chunk) < 5400:
+                chunk = np.pad(chunk, (0, 5400 - len(chunk)))
+            block = np.zeros((3, 5400), np.complex64)
+            block[1] = chunk
+            events.extend(bank.process(block))
+        results.append(events)
+    assert len(results[0]) == 1 and len(results[1]) == 1
+    e0, e1 = results[0][0], results[1][0]
+    assert e0.channel == e1.channel == 1
+    assert e0.pdu == pdu and e1.pdu == pdu
+    assert abs(e0.freq_err_hz - e1.freq_err_hz) < 1e-3
