@@ -188,31 +188,45 @@ class Channelizer:
         self._coarse = np.asarray([p.coarse_bins for p in self.plans], np.int32)
         self._residual = np.asarray([p.residual_cycles for p in self.plans], np.float64)
 
-        # streaming state
+        # streaming state.  The fs1 ring is DEVICE-RESIDENT: only integer
+        # bookkeeping lives on the host, so the steady-state loop transfers
+        # the wideband stream in and small index vectors -- never the
+        # (C, T) bulk (the device<->host bounce would dominate on
+        # bandwidth-limited interconnects; cf. the reference keeping all
+        # DSP in one process for the same reason).
         self._in_tail = np.zeros(geo.overlap_length, dtype=np.complex64)
         self._mixer_phase = jnp.zeros(self.num_channels, dtype=jnp.float32)
-        self._fs1_ring = np.zeros((self.num_channels, 0), dtype=np.complex64)
-        self._ring_global_start = 0    # global fs1-sample index of ring[0]
         self._out_count = 0            # total 5400-sps samples emitted
         self.ratio = self.fs1 / C.INTERNAL_RATE   # fs1 samples per output
         self._rs_taps = int(8 * max(1, int(np.ceil(self.ratio))))
         self._bank = jnp.asarray(_resampler_bank(
             int(round(self.ratio * 1000)), self._rs_taps))
+        # fs1 ring capacity: one resample span + headroom for a large append
+        need = int(out_chunk * self.ratio) + self._rs_taps \
+            + 16 * geo.post_input_size + 64
+        self._r1 = 1 << int(np.ceil(np.log2(need)))
+        from ..utils.xfer import czeros
+        self._fs1_ring = czeros((self.num_channels, self._r1))
+        self._fs1_fill = 0             # valid samples in the ring
+        self._ring_global_start = 0    # global fs1-sample index of ring[0]
 
     # ---- device kernels ----
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _channelize_blocks(self, frames: jax.Array,
-                           phase0: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def _channelize_blocks(self, frames: jax.Array, phase0: jax.Array,
+                           kernels_fft: jax.Array
+                           ) -> tuple[jax.Array, jax.Array]:
         """(B, fft_size) time frames -> (C, B*post_input_size) fs1 samples.
 
         Includes the per-channel residual mixer (phase-continuous across
-        blocks via phase0 carry)."""
+        blocks via phase0 carry).  kernels_fft rides as an argument, NOT a
+        closure: jit lowers closed-over device arrays as constants via a
+        host round-trip, which restricted backends cannot transfer."""
         geo = self.geo
         spec = jnp.fft.fft(frames, axis=1)                     # (B, N)
         # per-channel coarse shift: gather bins (k + b) mod N, fold by decim
         L = geo.fft_inv_size
-        prod = spec[:, None, :] * self._kernels_fft[None, :, :]       # (B, C, N)
+        prod = spec[:, None, :] * kernels_fft[None, :, :]             # (B, C, N)
         # coarse downconversion by b bins: Y'[k] = Y[(k+b) mod N] = roll(Y, -b)
         shifted = jax.vmap(lambda p, b: jnp.roll(p, -b, axis=-1),
                            in_axes=(1, 0), out_axes=1)(
@@ -231,45 +245,78 @@ class Channelizer:
         new_phase = jnp.mod(phase0 + residual * n, 1.0)
         return out.astype(jnp.complex64), new_phase
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _resample(self, ring: jax.Array, offsets: jax.Array,
-                  phases: jax.Array, n_out: int) -> jax.Array:
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def _resample(self, ring: jax.Array, bank: jax.Array,
+                  offsets: jax.Array, phases: jax.Array,
+                  n_out: int) -> jax.Array:
         """Gather-interpolate n_out samples at positions offsets (shared).
 
         offsets/phases arrive as (n_out, 1) int32 (2-D so host->device
-        transfers work on restricted backends)."""
+        transfers work on restricted backends); bank is an argument for
+        the same closure-constant reason as _channelize_blocks."""
         k = self._rs_taps
         win_idx = offsets + jnp.arange(k)[None, :]             # (n_out, K)
         wins = ring[:, win_idx]                                # (C, n_out, K)
-        taps = self._bank[phases[:, 0]]                        # (n_out, K)
+        taps = bank[phases[:, 0]]                              # (n_out, K)
         return jnp.einsum('cok,ok->co', wins, taps)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _ring_append(self, ring: jax.Array, new: jax.Array,
+                     fill: jax.Array) -> jax.Array:
+        """Write `new` at column fill[0,0] (host guarantees it fits)."""
+        return jax.lax.dynamic_update_slice(ring, new, (0, fill[0, 0]))
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _ring_drop(self, ring: jax.Array, drop: jax.Array) -> jax.Array:
+        """Discard the first drop[0,0] columns (left-rotate; the tail
+        beyond fill is don't-care)."""
+        return jnp.roll(ring, -drop[0, 0], axis=1)
 
     # ---- streaming API ----
 
-    def process(self, samples: np.ndarray) -> np.ndarray:
-        """Feed wideband samples; returns (C, M*out_chunk) at 5400 sps
-        (M >= 0 full chunks; remainder is buffered)."""
+    def process_device(self, samples: np.ndarray) -> list[jax.Array]:
+        """Feed wideband samples; returns device-resident (C, out_chunk)
+        blocks at 5400 sps (>= 0 full chunks; remainder stays buffered)."""
         geo = self.geo
         buf = np.concatenate([self._in_tail, np.asarray(samples, np.complex64)])
         n_frames = (len(buf) - geo.overlap_length) // geo.input_size
-        if n_frames > 0:
-            used = n_frames * geo.input_size
+        chunks: list[jax.Array] = []
+        while n_frames > 0:
+            # bound each append so it always fits the ring's headroom
+            n_now = min(n_frames, max(1, (self._r1 - self._fs1_fill)
+                                      // geo.post_input_size - 1))
+            if (self._fs1_fill + n_now * geo.post_input_size) > self._r1:
+                chunks.extend(self._drain_resampler())
+                if (self._fs1_fill + n_now * geo.post_input_size) > self._r1:
+                    raise RuntimeError('fs1 ring overflow (consumer stalled)')
+            used = n_now * geo.input_size
             frames = np.lib.stride_tricks.sliding_window_view(
                 buf[:used + geo.overlap_length], geo.fft_size)[::geo.input_size]
-            self._in_tail = buf[used:]
+            buf = buf[used:]
+            n_frames -= n_now
             out, self._mixer_phase = self._channelize_blocks(
-                device_put_safe(frames), self._mixer_phase)
-            self._fs1_ring = np.concatenate(
-                [self._fs1_ring, device_get(out)], axis=1)
-        else:
-            self._in_tail = buf
-        return self._drain_resampler()
+                device_put_safe(np.ascontiguousarray(frames)),
+                self._mixer_phase, self._kernels_fft)
+            self._fs1_ring = self._ring_append(
+                self._fs1_ring, out,
+                device_put_safe(np.asarray([[self._fs1_fill]], np.int32)))
+            self._fs1_fill += n_now * geo.post_input_size
+            chunks.extend(self._drain_resampler())
+        self._in_tail = buf
+        return chunks
 
-    def _drain_resampler(self) -> np.ndarray:
-        chunks = []
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        """process_device + host materialization (offline/test use)."""
+        chunks = self.process_device(samples)
+        if not chunks:
+            return np.zeros((self.num_channels, 0), dtype=np.complex64)
+        return np.concatenate([device_get(c) for c in chunks], axis=1)
+
+    def _drain_resampler(self) -> list[jax.Array]:
+        chunks: list[jax.Array] = []
         k = self._rs_taps
         while True:
-            avail = self._ring_global_start + self._fs1_ring.shape[1]
+            avail = self._ring_global_start + self._fs1_fill
             # positions for the next out_chunk outputs
             n0 = self._out_count
             last_pos = (n0 + self.out_chunk - 1) * self.ratio
@@ -284,19 +331,19 @@ class Channelizer:
                 # should not happen (ring trimmed conservatively)
                 offsets = np.maximum(offsets, 0)
             phases = np.round(frac * 64).astype(np.int32)
-            out = self._resample(
-                device_put_safe(self._fs1_ring),
+            chunks.append(self._resample(
+                self._fs1_ring, self._bank,
                 device_put_safe(offsets.astype(np.int32).reshape(-1, 1)),
                 device_put_safe(phases.astype(np.int32).reshape(-1, 1)),
-                self.out_chunk)
-            chunks.append(device_get(out))
+                self.out_chunk))
             self._out_count += self.out_chunk
             # trim ring
             keep_from = int(np.floor(self._out_count * self.ratio)) - k
             drop = max(0, keep_from - self._ring_global_start)
             if drop:
-                self._fs1_ring = self._fs1_ring[:, drop:]
+                self._fs1_ring = self._ring_drop(
+                    self._fs1_ring,
+                    device_put_safe(np.asarray([[drop]], np.int32)))
+                self._fs1_fill -= drop
                 self._ring_global_start += drop
-        if not chunks:
-            return np.zeros((self.num_channels, 0), dtype=np.complex64)
-        return np.concatenate(chunks, axis=1)
+        return chunks

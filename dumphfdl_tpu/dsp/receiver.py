@@ -8,16 +8,25 @@ a Channelizer (frontend.py) feeding one batched ChannelBank (channel.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+from ..utils.xfer import czeros, device_put_safe
 from .channel import ChannelBank, FrameEvent
 from .frontend import Channelizer
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)       # identity hash: jit static self
 class WidebandReceiver:
+    """Wideband samples in -> frame events out, all bulk data on device.
+
+    The only recurring host->device transfer is the wideband stream
+    itself (+tiny index vectors); narrowband channel data accumulates in
+    a device ring sliced into demod blocks in place."""
     sample_rate: int
     centerfreq: int
     frequencies: list[int]          # Hz
@@ -27,20 +36,42 @@ class WidebandReceiver:
         self.channelizer = Channelizer(self.sample_rate, self.centerfreq,
                                        self.frequencies)
         self.bank = ChannelBank(len(self.frequencies))
-        self._nb_buf = np.zeros((len(self.frequencies), 0), dtype=np.complex64)
+        c_pad = self.bank._c
+        self._r2 = 1 << int(np.ceil(np.log2(
+            self.block_len + 2 * self.channelizer.out_chunk)))
+        self._nb_ring = czeros((c_pad, self._r2))
+        self._nb_fill = 0
         self.sample_clock = 0       # wideband samples consumed
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _nb_append(self, ring, chunk, fill):
+        c = chunk.astype(ring.dtype)
+        if c.shape[0] != ring.shape[0]:          # padded dummy channels
+            c = jnp.pad(c, ((0, ring.shape[0] - c.shape[0]), (0, 0)))
+        return jax.lax.dynamic_update_slice(ring, c, (0, fill[0, 0]))
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _nb_take_block(self, ring):
+        """Front block_len columns + left-rotated ring."""
+        block = jax.lax.dynamic_slice(
+            ring, (0, 0), (ring.shape[0], self.block_len))
+        return block, jnp.roll(ring, -self.block_len, axis=1)
 
     def process(self, wideband: np.ndarray) -> list[FrameEvent]:
         """Feed wideband complex samples; returns completed frames."""
         self.sample_clock += len(wideband)
-        nb = self.channelizer.process(wideband)
-        if nb.shape[1]:
-            self._nb_buf = np.concatenate([self._nb_buf, nb], axis=1)
         events: list[FrameEvent] = []
-        while self._nb_buf.shape[1] >= self.block_len:
-            block = self._nb_buf[:, :self.block_len]
-            self._nb_buf = self._nb_buf[:, self.block_len:]
-            events.extend(self.bank.process(block))
+        for chunk in self.channelizer.process_device(wideband):
+            if self._nb_fill + chunk.shape[1] > self._r2:
+                raise RuntimeError('narrowband ring overflow')
+            self._nb_ring = self._nb_append(
+                self._nb_ring, chunk,
+                device_put_safe(np.asarray([[self._nb_fill]], np.int32)))
+            self._nb_fill += chunk.shape[1]
+            while self._nb_fill >= self.block_len:
+                block, self._nb_ring = self._nb_take_block(self._nb_ring)
+                self._nb_fill -= self.block_len
+                events.extend(self.bank.process(block))
         return events
 
     def flush(self) -> list[FrameEvent]:

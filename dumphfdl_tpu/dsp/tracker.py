@@ -25,6 +25,7 @@ Differences from the serial design (behavior-preserving):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -548,9 +549,16 @@ def tracker_block(state: TrackerState,
     ev_table0 = jnp.zeros((c, K_EVENTS + 1, EV_FIELDS), jnp.float32)
     ev_count0 = jnp.zeros((c,), jnp.int32)
     counters0 = jnp.zeros((c, 3), jnp.float32)
+    # unroll: the per-step body is tiny (C-wide vector ops), so scan-step
+    # launch overhead dominates on TPU; unrolling amortizes it and lets
+    # XLA fuse across consecutive symbols.
+    unroll = int(os.environ.get('DUMPHFDL_SCAN_UNROLL', '8'))
+    unroll = max(1, min(unroll, num_steps))
+    while num_steps % unroll:
+        unroll -= 1
     (final, (ev_table, _, counters)), outs = jax.lax.scan(
         step, (state, (ev_table0, ev_count0, counters0)),
-        jnp.arange(num_steps, dtype=jnp.int32))
+        jnp.arange(num_steps, dtype=jnp.int32), unroll=unroll)
     # undo the alignment shift, then rebase tau for the next block
     # (caller prepends the last HALO samples)
     final = final._replace(
