@@ -19,15 +19,21 @@ Wire format notes (unaligned PER, no extension markers in FANS-1/A):
   ATCUplinkMsgElementId   ::= CHOICE of 183 alternatives  -- 8-bit index
   ATCDownlinkMsgElementId ::= CHOICE of 81 alternatives   -- 7-bit index
 
-Element *arguments* are not decoded (they are a large ASN.1 surface);
-elements whose argument type is NULL decode fully and allow the walk to
-continue to subsequent elements, otherwise the remaining bits are
-surfaced raw.  Round-trip tested against the encoder below; not yet
-validated bit-for-bit against libacars on an off-air capture (see
-NOTES.md).
+Element *arguments* decode for the common scalar types (altitude, speed,
+time, position, frequency, degrees, beacon code, free text, ...); the
+argument signature of each element is derived from the bracketed
+placeholders of its phraseology string, which follow the ASN.1 SEQUENCE
+field order by construction of the DO-258A message set.  Elements whose
+arguments use the large compound types (route clearance, position
+report, predeparture clearance) keep the raw-bits fallback.  All integer
+ranges are the PER-visible constraints recorded in the decoder table
+below; round-trip tested against the encoder in tests, not yet validated
+bit-for-bit against libacars on an off-air capture (see NOTES.md).
 """
 
 from __future__ import annotations
+
+import re
 
 from .tree import ProtoNode, iprintf
 
@@ -355,6 +361,259 @@ UPLINK_CHOICE_BITS = 8       # 183 alternatives
 DOWNLINK_CHOICE_BITS = 7     # 81 alternatives
 UPLINK_COUNT = 183
 DOWNLINK_COUNT = 81
+
+
+# --- element argument decoders (DO-258A types, unaligned PER) ---------------
+#
+# Each decoder consumes bits from a BitReader and returns a display string.
+# A placeholder type outside this table (route clearance, position report,
+# predeparture clearance, ...) raises _Unsupported and the element falls
+# back to the raw-bits rendering.
+
+
+class _Unsupported(Exception):
+    pass
+
+
+def _uint(rd: BitReader, lo: int, hi: int) -> int:
+    """PER constrained whole number (unaligned): ceil(log2(range)) bits."""
+    span = hi - lo
+    if span == 0:
+        return lo
+    val = lo + rd.read(span.bit_length())
+    if val > hi:
+        raise ValueError('constrained int out of range')
+    return val
+
+
+def _ia5(rd: BitReader, lo: int, hi: int) -> str:
+    """IA5String SIZE(lo..hi): constrained length + 7-bit characters."""
+    n = _uint(rd, lo, hi)
+    s = ''.join(chr(rd.read(7)) for _ in range(n))
+    if any(ch < ' ' or ch > '~' for ch in s):
+        raise ValueError('non-printable IA5')
+    return s
+
+
+def _arg_time(rd):
+    return f'{_uint(rd, 0, 23):02d}:{_uint(rd, 0, 59):02d}'
+
+
+_ALT_ALTS = (
+    # (label fmt, lo, hi, scale)
+    ('{} FT QNH', -600, 70000, 1),       # altitudeQNH (10-ft res carried x1)
+    ('{} M QNH', -30, 25000, 1),         # altitudeQNHMeters
+    ('{} FT QFE', -600, 70000, 1),       # altitudeQFE
+    ('{} M QFE', -30, 25000, 1),         # altitudeQFEMeters
+    ('{} FT GNSS', 0, 70000, 1),         # altitudeGNSSFeet
+    ('{} M GNSS', 0, 25000, 1),          # altitudeGNSSMeters
+    ('FL{}', 30, 600, 1),                # altitudeFlightLevel
+    ('FL{} (METRIC)', 100, 2500, 10),    # altitudeFlightLevelMetric
+)
+
+
+def _arg_altitude(rd):
+    fmt, lo, hi, scale = _ALT_ALTS[_uint(rd, 0, 7)]
+    return fmt.format(_uint(rd, lo, hi) * scale)
+
+
+_SPEED_ALTS = (
+    ('{} KT IAS', 0, 400, 1),
+    ('{} KM/H IAS', 0, 800, 1),
+    ('{} KT TAS', 0, 2000, 1),
+    ('{} KM/H TAS', 0, 4000, 1),
+    ('{} KT GS', -50, 2000, 1),
+    ('{} KM/H GS', -100, 4000, 1),
+    ('M{:.3f}', 500, 4000, 1),           # mach x1000
+    ('M{:.3f}', 500, 4000, 1),           # machLarge
+)
+
+
+def _arg_speed(rd):
+    idx = _uint(rd, 0, 7)
+    fmt, lo, hi, _ = _SPEED_ALTS[idx]
+    v = _uint(rd, lo, hi)
+    return fmt.format(v / 1000.0) if idx >= 6 else fmt.format(v)
+
+
+def _arg_latlon(rd):
+    lat = _uint(rd, 0, 90000) / 1000.0
+    ns = 'NS'[rd.read(1)]
+    lon = _uint(rd, 0, 180000) / 1000.0
+    ew = 'EW'[rd.read(1)]
+    return f'{lat:.3f}{ns} {lon:.3f}{ew}'
+
+
+def _arg_position(rd):
+    c = _uint(rd, 0, 4)
+    if c == 0:
+        return _ia5(rd, 1, 5)            # published fix name
+    if c == 1:
+        return _ia5(rd, 1, 4)            # navaid
+    if c == 2:
+        return _ia5(rd, 4, 4)            # airport
+    if c == 3:
+        return _arg_latlon(rd)
+    raise _Unsupported('placeBearingDistance')
+
+
+def _arg_distance_offset(rd):
+    if rd.read(1):
+        return f'{_uint(rd, 1, 256)} KM'
+    return f'{_uint(rd, 1, 128)} NM'
+
+
+_DIRECTIONS = ('LEFT', 'RIGHT', 'EITHER SIDE', 'NORTH', 'SOUTH', 'EAST',
+               'WEST', 'NORTH EAST', 'NORTH WEST', 'SOUTH EAST',
+               'SOUTH WEST')
+
+
+def _arg_direction(rd):
+    return _DIRECTIONS[_uint(rd, 0, len(_DIRECTIONS) - 1)]
+
+
+def _arg_degrees(rd):
+    kind = 'TRUE' if rd.read(1) else 'MAGNETIC'
+    return f'{_uint(rd, 1, 360)} DEGREES {kind}'
+
+
+def _arg_frequency(rd):
+    c = _uint(rd, 0, 3)
+    if c == 0:                           # HF, kHz
+        return f'{_uint(rd, 2850, 28000)} KHZ'
+    if c == 1:                           # VHF, 25 kHz raster
+        return f'{(_uint(rd, 0, 759) * 25 + 118000) / 1000.0:.3f} MHZ'
+    if c == 2:                           # UHF, 25 kHz raster
+        return f'{(_uint(rd, 0, 6999) * 25 + 225000) / 1000.0:.3f} MHZ'
+    raise _Unsupported('satchannel')
+
+
+def _arg_beacon_code(rd):
+    return ''.join(str(_uint(rd, 0, 7)) for _ in range(4))
+
+
+def _arg_free_text(rd):
+    return _ia5(rd, 1, 256)
+
+
+def _arg_facility(rd):
+    return _ia5(rd, 4, 8)                # ICAO facility designation
+
+
+_FACILITY_FUNCTIONS = ('CENTER', 'APPROACH', 'TOWER', 'FINAL',
+                       'GROUND CONTROL', 'CLEARANCE DELIVERY', 'DEPARTURE',
+                       'CONTROL', 'RADIO')
+
+
+def _arg_unit_name(rd):
+    # SEQUENCE { facility CHOICE {designation, name}, function ENUM }
+    name = _ia5(rd, 3, 18) if rd.read(1) else _arg_facility(rd)
+    func = _FACILITY_FUNCTIONS[_uint(rd, 0, len(_FACILITY_FUNCTIONS) - 1)]
+    return f'{name} {func}'
+
+
+def _arg_atis(rd):
+    ch = _ia5(rd, 1, 1)
+    if not ch.isalpha():
+        raise ValueError('bad ATIS code')
+    return ch
+
+
+def _arg_altimeter(rd):
+    if rd.read(1):
+        return f'{_uint(rd, 7500, 12500) / 10.0:.1f} HPA'
+    return f'{_uint(rd, 2200, 3200) / 100.0:.2f} INHG'
+
+
+def _arg_vertical_rate(rd):
+    if rd.read(1):
+        return f'{_uint(rd, 0, 3000)} M/MIN'
+    return f'{_uint(rd, 0, 6000)} FT/MIN'
+
+
+def _arg_leg_type(rd):
+    if rd.read(1):
+        return f'{_uint(rd, 1, 100) / 10.0:.1f} MIN LEG'
+    return f'{_uint(rd, 1, 128) / 10.0:.1f} NM LEG'
+
+
+def _arg_tofrom(rd):
+    return 'FROM' if rd.read(1) else 'TO'
+
+
+def _arg_distance(rd):
+    return f'{_uint(rd, 0, 8000)} NM'
+
+
+_ERRORS = ('APPLICATION ERROR', 'DUPLICATE MESSAGE ID',
+           'UNRECOGNIZED MESSAGE REFERENCE NUMBER',
+           'LOGICAL ACKNOWLEDGMENT NOT ACCEPTED', 'INSUFFICIENT RESOURCES',
+           'INVALID MESSAGE ELEMENT COMBINATION', 'INVALID MESSAGE ELEMENT')
+
+
+def _arg_error(rd):
+    return _ERRORS[_uint(rd, 0, len(_ERRORS) - 1)]
+
+
+def _arg_version(rd):
+    return str(_uint(rd, 0, 15))
+
+
+_PROC_TYPES = ('ARRIVAL', 'APPROACH', 'DEPARTURE')
+
+
+def _arg_procedure(rd):
+    has_transition = rd.read(1)          # OPTIONAL preamble
+    ptype = _PROC_TYPES[_uint(rd, 0, len(_PROC_TYPES) - 1)]
+    name = _ia5(rd, 1, 20)
+    out = f'{name} {ptype}'
+    if has_transition:
+        out += f' TRANSITION {_ia5(rd, 1, 5)}'
+    return out
+
+
+_ARG_DECODERS = {
+    'altitude': _arg_altitude,
+    'speed': _arg_speed,
+    'time': _arg_time,
+    'position': _arg_position,
+    'distance offset': _arg_distance_offset,
+    'direction': _arg_direction,
+    'degrees': _arg_degrees,
+    'frequency': _arg_frequency,
+    'beacon code': _arg_beacon_code,
+    'free text': _arg_free_text,
+    'icao facility designation': _arg_facility,
+    'icao unit name': _arg_unit_name,
+    'atis code': _arg_atis,
+    'altimeter': _arg_altimeter,
+    'vertical rate': _arg_vertical_rate,
+    'leg type': _arg_leg_type,
+    'to/from': _arg_tofrom,
+    'distance': _arg_distance,
+    'error information': _arg_error,
+    'version number': _arg_version,
+    'procedure name': _arg_procedure,
+}
+
+_PLACEHOLDER_RE = re.compile(r'\[([^\]]+)\]')
+
+
+def _decode_args(rd: BitReader, phraseology: str) -> list[str]:
+    """Decode an element's arguments per its placeholder signature."""
+    args = []
+    for token in _PLACEHOLDER_RE.findall(phraseology):
+        dec = _ARG_DECODERS.get(token)
+        if dec is None:
+            raise _Unsupported(token)
+        args.append(dec(rd))
+    return args
+
+
+def render_element(text: str, args: list[str]) -> str:
+    """Substitute decoded argument values into the phraseology string."""
+    it = iter(args)
+    return _PLACEHOLDER_RE.sub(lambda _: f'[{next(it)}]', text)
 
 
 def parse(payload: bytes, uplink: bool) -> ProtoNode | None:
