@@ -95,7 +95,8 @@ class HfdlApp:
             return
         c = device_get(counters)
         names = ('demod.preamble.A2_found', 'demod.preamble.M1_found',
-                 'demod.preamble.errors.M1_not_found')
+                 'demod.preamble.errors.M1_not_found',
+                 'demod.errors.event_table_overflow')
         for i, freq in enumerate(self.cfg.frequencies):
             for j, name in enumerate(names):
                 n = int(c[i, j])

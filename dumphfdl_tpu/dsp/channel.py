@@ -236,7 +236,7 @@ class ChannelBank:
          self._tail, self._lvl_tail, outs, ev_table, counters) = channel_step(
             self.agc_state, self.tracker_state, self.framebuf,
             self._tail, self._lvl_tail, x, num_steps)
-        self.last_counters = counters    # (C, 3): A2, M1, M1-miss deltas
+        self.last_counters = counters    # (C, 4): A2, M1, M1-miss, event-overflow deltas
         if self.dumps is not None:
             sym = device_get(outs.sym).T          # (C, T_out)
             self.dumps.write('sym_out', sym)

@@ -437,6 +437,14 @@ def tracker_block(state: TrackerState,
         a2_miss = in_a2 & ~a2_hit
         a2_fail = a2_miss & (retries + 1 >= C.MAX_SEARCH_RETRIES)
         retries = set_where(a2_miss, retries + 1, retries)
+        # Reported frequency error mirrors the reference display exactly
+        # (hfdl.c:812: dphi * HFDL_SYMBOL_RATE / 2pi).  NOTE: in both
+        # decoders dphi is radians per *half*-symbol -- the reference's
+        # costas steps once per symsync output and symsync emits 2 samples
+        # per symbol (hfdl.c:505,709-710), as does our fused step (two
+        # costas_step calls per symbol).  The displayed value is therefore
+        # cfo/2 in BOTH decoders; we keep the formula for output parity
+        # rather than "fixing" it to true CFO.
         freq_err = set_where(a2_hit, dphi * C.SYMBOL_RATE / (2 * np.pi), freq_err)
         frame_start = set_where(a2_hit, abs_symbol - _TS_CORRECTION_SYMBOLS, frame_start)
         sw = set_where(a2_hit, C.M1_LEN, sw)
@@ -504,8 +512,12 @@ def tracker_block(state: TrackerState,
         ev_table = ev_table.at[cidx, slot].set(
             jnp.where(emit[:, None], fields, ev_table[cidx, slot]))
         ev_count = ev_count + emit.astype(jnp.int32)
+        # a frame completing after the table is full lands in the overflow
+        # slot (index K_EVENTS) and is lost; count it so the host can surface
+        # the drop instead of silently swallowing the frame
+        ev_dropped = emit & (ev_count > K_EVENTS)
         counters = counters + jnp.stack(
-            [a2_hit, m1_hit, m1_fail], axis=-1).astype(jnp.float32)
+            [a2_hit, m1_hit, m1_fail, ev_dropped], axis=-1).astype(jnp.float32)
         carry_aux_new = (ev_table, ev_count, counters)
         frame_counter = jnp.where(emit, st.frame_counter + 1, st.frame_counter)
         symbol_cnt = jnp.where(emit, 0, symbol_cnt)
@@ -548,7 +560,7 @@ def tracker_block(state: TrackerState,
     c = x.shape[0]
     ev_table0 = jnp.zeros((c, K_EVENTS + 1, EV_FIELDS), jnp.float32)
     ev_count0 = jnp.zeros((c,), jnp.int32)
-    counters0 = jnp.zeros((c, 3), jnp.float32)
+    counters0 = jnp.zeros((c, 4), jnp.float32)
     # unroll: the per-step body is tiny (C-wide vector ops), so scan-step
     # launch overhead dominates on TPU; unrolling amortizes it and lets
     # XLA fuse across consecutive symbols.

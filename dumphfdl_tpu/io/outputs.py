@@ -400,10 +400,10 @@ class OutputManager:
 
     def dispatch(self, metadata, trees) -> None:
         """Format each tree once per distinct formatter; fan out."""
-        cache: dict[int, Any] = {}
+        cache: dict[tuple[int, int], Any] = {}
         for tree in trees:
             for fmtr, inst in self._outputs:
-                key = id(fmtr) ^ id(tree)
+                key = (id(fmtr), id(tree))
                 if key not in cache:
                     cache[key] = fmtr.format(metadata, tree)
                 payload = cache[key]

@@ -8,11 +8,16 @@ global mutexes, globals.h:48-58).
 from __future__ import annotations
 
 import dataclasses
-import re
+import sys
 import threading
 import time as time_mod
 
+from . import libconfig
 from ..ops import bits as bitops
+
+
+class SysTableError(ValueError):
+    """Schema violation in a system table file (systable.c:440-557)."""
 
 GS_MAX_FREQ_CNT = 20   # size of the freqs-in-use bitmaps (systable.h)
 
@@ -65,64 +70,104 @@ class SysTable:
                 text = f.read()
         except OSError:
             return False
-        ok = self._parse_config(text)
+        try:
+            ok = self._parse_config(text)
+        except (libconfig.LibconfigError, SysTableError) as e:
+            print(f'systable: cannot load {path}: {e}', file=sys.stderr)
+            return False
         self.available = ok
         return ok
 
     def _parse_config(self, text: str) -> bool:
-        m = re.search(r'version\s*=\s*(\d+)', text)
-        if not m:
-            return False
-        version = int(m.group(1))
+        """Parse + schema-validate a system table file.
+
+        Real libconfig grammar (nested groups, comments, string escapes)
+        via protocol/libconfig.py; the schema checks mirror
+        /root/reference/src/systable.c:440-557 and reject loudly
+        (SysTableError) instead of silently mis-parsing.
+        """
+        cfg = libconfig.loads(text)
+        version = cfg.get('version')
+        if not isinstance(version, int):
+            raise SysTableError('missing or non-integer "version"')
+        st_list = cfg.get('stations')
+        if not isinstance(st_list, list):
+            raise SysTableError('missing "stations" list')
         stations: dict[int, GroundStation] = {}
-        for sm in re.finditer(r'\{(.*?)\}', text, re.DOTALL):
-            body = sm.group(1)
-            idm = re.search(r'\bid\s*=\s*(\d+)', body)
-            if not idm:
-                return False
-            gs = GroundStation(gs_id=int(idm.group(1)))
-            latm = re.search(r'\blat\s*=\s*(-?[\d.]+)', body)
-            lonm = re.search(r'\blon\s*=\s*(-?[\d.]+)', body)
-            namem = re.search(r'\bname\s*=\s*"([^"]*)"', body)
-            freqm = re.search(r'frequencies\s*=\s*\(([^)]*)\)', body)
-            if latm:
-                gs.lat = float(latm.group(1))
-            if lonm:
-                gs.lon = float(lonm.group(1))
-            if namem:
-                gs.name = namem.group(1)
-            if freqm:
-                gs.frequencies = [float(x) for x in
-                                  re.findall(r'-?[\d.]+', freqm.group(1))]
-            if gs.gs_id in stations:
-                return False          # duplicate id -> invalid (systable.c:514)
-            stations[gs.gs_id] = gs
+        for entry in st_list:
+            if not isinstance(entry, dict):
+                raise SysTableError('station entry is not a group')
+            gs_id = entry.get('id')
+            if not isinstance(gs_id, int):
+                raise SysTableError('station without integer "id"')
+            if gs_id in stations:
+                # duplicate id -> invalid (systable.c:514)
+                raise SysTableError(f'duplicate station id {gs_id}')
+            gs = GroundStation(gs_id=gs_id)
+            name = entry.get('name')
+            if name is not None:
+                if not isinstance(name, str):
+                    raise SysTableError(f'station {gs_id}: "name" not a string')
+                gs.name = name
+            lat, lon = entry.get('lat'), entry.get('lon')
+            if lat is not None or lon is not None:
+                if not isinstance(lat, (int, float)) or \
+                        not isinstance(lon, (int, float)):
+                    raise SysTableError(f'station {gs_id}: bad lat/lon')
+                gs.lat, gs.lon = float(lat), float(lon)
+            freqs = entry.get('frequencies')
+            if freqs is not None:
+                if not isinstance(freqs, list) or \
+                        not all(isinstance(f, (int, float)) for f in freqs):
+                    raise SysTableError(f'station {gs_id}: bad frequencies')
+                gs.frequencies = [float(f) for f in freqs]
+            # extension fields (not written by the reference's save, but
+            # emitted by ours so OTA tables round-trip fully)
+            utc = entry.get('utc_sync')
+            if utc is not None:
+                if not isinstance(utc, bool):
+                    raise SysTableError(f'station {gs_id}: bad utc_sync')
+                gs.utc_sync = utc
+            slots = entry.get('master_frame_slots')
+            if slots is not None:
+                if not isinstance(slots, list) or \
+                        not all(isinstance(s, int) for s in slots):
+                    raise SysTableError(f'station {gs_id}: bad master_frame_slots')
+                gs.master_frame_slots = list(slots)
+            stations[gs_id] = gs
         self.version = version
         self.stations = stations
         return True
 
     def save(self, path: str | None = None) -> bool:
+        """Write the table back as libconfig (systable.c:818-878).
+
+        The reference persists id/lat/lon/frequencies/name only; we
+        additionally persist utc_sync and master_frame_slots so an
+        OTA-updated table survives a restart without information loss
+        (both fields are accepted-but-ignored extras for the reference's
+        own parser).
+        """
         path = path or self.save_path
         if not path:
             return False
-        lines = [f'version = {self.version};', 'stations = ( ']
-        entries = []
+        st_list = []
         for gs in self.stations.values():
-            freqs = ', '.join(f'{f:.1f}' for f in gs.frequencies)
-            e = ('  {\n'
-                 f'    id = {gs.gs_id};\n'
-                 f'    lat = {gs.lat:.6f};\n'
-                 f'    lon = {gs.lon:.6f};\n'
-                 f'    frequencies = ( {freqs} );\n')
+            entry: dict = {'id': gs.gs_id,
+                           'lat': round(gs.lat, 6),
+                           'lon': round(gs.lon, 6),
+                           'frequencies': [float(f) for f in gs.frequencies]}
             if gs.name is not None:
-                e += f'    name = "{gs.name}";\n'
-            e += '  }'
-            entries.append(e)
-        lines.append(', \n'.join(entries))
-        lines.append(');')
+                entry['name'] = gs.name
+            if gs.utc_sync:
+                entry['utc_sync'] = True
+            if gs.master_frame_slots:
+                entry['master_frame_slots'] = list(gs.master_frame_slots)
+            st_list.append(entry)
+        text = libconfig.dumps({'version': self.version, 'stations': st_list})
         try:
             with open(path, 'w', encoding='utf-8') as f:
-                f.write('\n'.join(lines) + '\n')
+                f.write(text)
             return True
         except OSError:
             return False

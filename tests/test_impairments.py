@@ -49,7 +49,11 @@ def test_cfo(cfo):
     assert any(e.pdu == pdu for e in events), \
         [(e.mode, e.train_bad, e.train_total, e.freq_err_hz) for e in events]
     ev = next(e for e in events if e.pdu == pdu)
-    # reported frequency error should have the right sign and order
+    # The reference reports dphi*1800/2pi with dphi per HALF-symbol
+    # (hfdl.c:505 sets symsync output rate 2; costas steps per output,
+    # hfdl.c:709-710; report formula hfdl.c:812), i.e. it displays cfo/2.
+    # We mirror that formula for message-header parity, hence the *2 here
+    # maps the displayed value back to the true injected CFO.
     assert abs(ev.freq_err_hz * 2.0 - cfo) < 15.0, (ev.freq_err_hz, cfo)
 
 
