@@ -164,6 +164,9 @@ def _parse_body(buf: bytes, msg_dir: str, metadata, ctx) -> ProtoNode:
     if status in (REASM_COMPLETE, REASM_SKIPPED) and data['text']:
         use_raw = full_raw if status == REASM_COMPLETE else raw
         child = _parse_arinc622(data['text'], use_raw, msg_dir)
+        if child is None and data['label'] == 'MA':
+            from . import miam as miam_mod
+            child = miam_mod.parse(data['label'], data['text'], use_raw)
         if child is not None:
             node.next = child
     return node
@@ -218,6 +221,12 @@ def _parse_arinc622(text: str, raw: bytes, msg_dir: str) -> ProtoNode | None:
         from . import cpdlc as cpdlc_mod
         node.next = cpdlc_mod.parse(payload[:-2],
                                     uplink=(msg_dir == 'gnd2air'))
+    elif imi in ('CR1', 'DR1', 'CC1') and len(payload) > 2:
+        # connect-management payloads are plain ATC messages: CR1/DR1 are
+        # aircraft-initiated (downlink grammar), CC1 is the ground confirm
+        # (uplink grammar) -- mirrors libacars' per-IMI type dispatch
+        from . import cpdlc as cpdlc_mod
+        node.next = cpdlc_mod.parse(payload[:-2], uplink=(imi == 'CC1'))
     return node
 
 

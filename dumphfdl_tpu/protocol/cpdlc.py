@@ -25,10 +25,18 @@ argument signature of each element is derived from the bracketed
 placeholders of its phraseology string, which follow the ASN.1 SEQUENCE
 field order by construction of the DO-258A message set.  Elements whose
 arguments use the large compound types (route clearance, position
-report, predeparture clearance) keep the raw-bits fallback.  All integer
-ranges are the PER-visible constraints recorded in the decoder table
-below; round-trip tested against the encoder in tests, not yet validated
-bit-for-bit against libacars on an off-air capture (see NOTES.md).
+report, predeparture clearance, placeBearingDistance, satchannel) fall
+back to the raw-bits rendering and stop the element walk there (element
+boundaries are unknowable past an undecoded argument).  All integer
+ranges are the PER-visible constraints recorded in the decoder table;
+every decoder is round-trip tested against the encoders in
+tests/test_cpdlc.py, but none of this is yet validated bit-for-bit
+against libacars on an off-air capture (see NOTES.md).
+
+CR1/CC1/DR1 connect-management payloads carry the same ATC message
+structure (CR1/DR1 are aircraft-initiated -> ATCDownlinkMessage, CC1 is
+the ground confirm -> ATCUplinkMessage), mirroring libacars' type
+dispatch for these IMIs.
 """
 
 from __future__ import annotations
@@ -371,8 +379,14 @@ DOWNLINK_COUNT = 81
 # back to the raw-bits rendering.
 
 
-class _Unsupported(Exception):
-    pass
+class _Unsupported(ValueError):
+    """Argument type we deliberately do not decode (compound DO-258A types).
+
+    Subclasses ValueError so that even an uncaught escape degrades to the
+    'unparseable message' path instead of crashing on off-air frames.
+    parse() additionally catches it explicitly at the _decode_args call
+    site and falls back to the raw-bits rendering for that element.
+    """
 
 
 def _uint(rd: BitReader, lo: int, hi: int) -> int:
@@ -399,16 +413,24 @@ def _arg_time(rd):
     return f'{_uint(rd, 0, 23):02d}:{_uint(rd, 0, 59):02d}'
 
 
+# Altitude CHOICE alternatives.  Scale resolution: the PER-visible range
+# IS the carried value range, so the unit must make the range span the
+# physical envelope.  (-600..70000) only makes sense as whole feet
+# (10-ft units would mean a 700,000 ft ceiling); (-30..25000) as whole
+# meters; (30..600) as a flight level; (100..2500) as tens of meters
+# (1,000-25,000 m).  This resolves the earlier '10-ft resolution?' doubt
+# on range-consistency grounds; bit-for-bit validation against libacars
+# on an off-air capture is still outstanding (NOTES.md).
 _ALT_ALTS = (
     # (label fmt, lo, hi, scale)
-    ('{} FT QNH', -600, 70000, 1),       # altitudeQNH (10-ft res carried x1)
-    ('{} M QNH', -30, 25000, 1),         # altitudeQNHMeters
+    ('{} FT QNH', -600, 70000, 1),       # altitudeQNH, whole feet
+    ('{} M QNH', -30, 25000, 1),         # altitudeQNHMeters, whole meters
     ('{} FT QFE', -600, 70000, 1),       # altitudeQFE
     ('{} M QFE', -30, 25000, 1),         # altitudeQFEMeters
     ('{} FT GNSS', 0, 70000, 1),         # altitudeGNSSFeet
     ('{} M GNSS', 0, 25000, 1),          # altitudeGNSSMeters
     ('FL{}', 30, 600, 1),                # altitudeFlightLevel
-    ('FL{} (METRIC)', 100, 2500, 10),    # altitudeFlightLevelMetric
+    ('FL{} (METRIC)', 100, 2500, 10),    # altitudeFlightLevelMetric, 10 m units
 )
 
 
@@ -417,6 +439,10 @@ def _arg_altitude(rd):
     return fmt.format(_uint(rd, lo, hi) * scale)
 
 
+# Speed CHOICE alternatives.  Same range-consistency argument: (0..400)
+# spans indicated airspeeds only as whole knots (10-kt units would give
+# a 4,000 kt IAS ceiling); mach alternatives carry mach x1000
+# (500..4000 -> M0.5..M4.0).
 _SPEED_ALTS = (
     ('{} KT IAS', 0, 400, 1),
     ('{} KM/H IAS', 0, 800, 1),
@@ -623,6 +649,7 @@ def parse(payload: bytes, uplink: bool) -> ProtoNode | None:
     node.text_formatter = _fmt
     node.json_formatter = _js
     rd = BitReader(payload)
+    elements: list[dict] = []
     try:
         has_ref = rd.read(1)
         has_ts = rd.read(1)
@@ -640,7 +667,6 @@ def parse(payload: bytes, uplink: bool) -> ProtoNode | None:
         nbits = UPLINK_CHOICE_BITS if uplink else DOWNLINK_CHOICE_BITS
         limit = UPLINK_COUNT if uplink else DOWNLINK_COUNT
         prefix = 'uM' if uplink else 'dM'
-        elements = []
         for i in range(count):
             idx = rd.read(nbits)
             if idx >= limit:
@@ -648,33 +674,251 @@ def parse(payload: bytes, uplink: bool) -> ProtoNode | None:
             el = {'id': f'{prefix}{idx}',
                   'text': names.get(idx, f'{prefix}{idx}')}
             if idx not in nulls:
-                # argument bits follow; not decoded -> stop the walk
-                rem = rd.remaining()
-                if rem > 0:
-                    el['arg_bits'] = rem
-                    bits = BitWriter()
-                    while rd.remaining() >= 8:
-                        bits.write(rd.read(8), 8)
-                    tail = rd.remaining()
-                    if tail:
-                        bits.write(rd.read(tail) << (8 - tail), 8)
-                    el['arg_raw'] = bits.tobytes().hex()
-                elements.append(el)
-                if i + 1 < count:
-                    data['undecoded_elements'] = count - i - 1
-                break
+                # decode the element's arguments per its placeholder
+                # signature; on an unsupported compound type or a PER
+                # decode failure, rewind and fall back to the raw-bits
+                # rendering -- element boundaries are unknowable past an
+                # undecodable argument, so the walk stops there.
+                save = rd.pos
+                try:
+                    args = _decode_args(rd, el['text'])
+                except (_Unsupported, ValueError):
+                    rd.pos = save
+                    rem = rd.remaining()
+                    if rem > 0:
+                        el['arg_bits'] = rem
+                        bits = BitWriter()
+                        while rd.remaining() >= 8:
+                            bits.write(rd.read(8), 8)
+                        tail = rd.remaining()
+                        if tail:
+                            bits.write(rd.read(tail) << (8 - tail), 8)
+                        el['arg_raw'] = bits.tobytes().hex()
+                    elements.append(el)
+                    if i + 1 < count:
+                        data['undecoded_elements'] = count - i - 1
+                    break
+                el['args'] = args
+                el['rendered'] = render_element(el['text'], args)
             elements.append(el)
         data['elements'] = elements
     except ValueError:
+        # keep any elements decoded before the failure point for display
         data['err'] = True
+        if elements:
+            data['elements'] = elements
     return node
 
 
-def encode(uplink: bool, min_: int, elements: list[int],
+# --- element argument encoders (test-vector generation) ---------------------
+#
+# Mirror images of the decoders above, accepting semantic value tuples so
+# every entry in _ARG_DECODERS can be round-trip tested.
+
+
+def _wuint(w: BitWriter, val: int, lo: int, hi: int) -> None:
+    span = hi - lo
+    if span == 0:
+        return
+    if not lo <= val <= hi:
+        raise ValueError(f'{val} outside [{lo},{hi}]')
+    w.write(val - lo, span.bit_length())
+
+
+def _wia5(w: BitWriter, s: str, lo: int, hi: int) -> None:
+    _wuint(w, len(s), lo, hi)
+    for ch in s:
+        w.write(ord(ch), 7)
+
+
+def _enc_time(w, v):                      # (h, m)
+    _wuint(w, v[0], 0, 23)
+    _wuint(w, v[1], 0, 59)
+
+
+def _enc_altitude(w, v):                  # (alt_idx, carried_int)
+    idx, val = v
+    _wuint(w, idx, 0, 7)
+    _, lo, hi, _ = _ALT_ALTS[idx]
+    _wuint(w, val, lo, hi)
+
+
+def _enc_speed(w, v):                     # (alt_idx, carried_int)
+    idx, val = v
+    _wuint(w, idx, 0, 7)
+    _, lo, hi, _ = _SPEED_ALTS[idx]
+    _wuint(w, val, lo, hi)
+
+
+def _enc_position(w, v):
+    # (0|1|2, name) | (3, (lat_milli, ns, lon_milli, ew))
+    c, val = v
+    _wuint(w, c, 0, 4)
+    if c == 0:
+        _wia5(w, val, 1, 5)
+    elif c == 1:
+        _wia5(w, val, 1, 4)
+    elif c == 2:
+        _wia5(w, val, 4, 4)
+    elif c == 3:
+        lat, ns, lon, ew = val
+        _wuint(w, lat, 0, 90000)
+        w.write(ns, 1)
+        _wuint(w, lon, 0, 180000)
+        w.write(ew, 1)
+    else:
+        raise ValueError('cannot encode placeBearingDistance')
+
+
+def _enc_distance_offset(w, v):           # ('nm'|'km', val)
+    unit, val = v
+    w.write(1 if unit == 'km' else 0, 1)
+    _wuint(w, val, 1, 256 if unit == 'km' else 128)
+
+
+def _enc_direction(w, v):
+    idx = _DIRECTIONS.index(v) if isinstance(v, str) else v
+    _wuint(w, idx, 0, len(_DIRECTIONS) - 1)
+
+
+def _enc_degrees(w, v):                   # (is_true, val)
+    w.write(1 if v[0] else 0, 1)
+    _wuint(w, v[1], 1, 360)
+
+
+def _enc_frequency(w, v):                 # (choice, raw)
+    c, raw = v
+    _wuint(w, c, 0, 3)
+    if c == 0:
+        _wuint(w, raw, 2850, 28000)
+    elif c == 1:
+        _wuint(w, raw, 0, 759)
+    elif c == 2:
+        _wuint(w, raw, 0, 6999)
+    else:
+        raise ValueError('cannot encode satchannel')
+
+
+def _enc_beacon(w, v):                    # '0137'
+    for ch in v:
+        _wuint(w, int(ch), 0, 7)
+
+
+def _enc_free_text(w, v):
+    _wia5(w, v, 1, 256)
+
+
+def _enc_facility(w, v):
+    _wia5(w, v, 4, 8)
+
+
+def _enc_unit_name(w, v):                 # (is_name, str, func_idx)
+    is_name, s, func = v
+    w.write(1 if is_name else 0, 1)
+    if is_name:
+        _wia5(w, s, 3, 18)
+    else:
+        _wia5(w, s, 4, 8)
+    _wuint(w, func, 0, len(_FACILITY_FUNCTIONS) - 1)
+
+
+def _enc_atis(w, v):
+    _wia5(w, v, 1, 1)
+
+
+def _enc_altimeter(w, v):                 # ('hpa'|'inhg', raw)
+    unit, raw = v
+    w.write(1 if unit == 'hpa' else 0, 1)
+    if unit == 'hpa':
+        _wuint(w, raw, 7500, 12500)
+    else:
+        _wuint(w, raw, 2200, 3200)
+
+
+def _enc_vrate(w, v):                     # ('m'|'ft', val)
+    unit, val = v
+    w.write(1 if unit == 'm' else 0, 1)
+    _wuint(w, val, 0, 3000 if unit == 'm' else 6000)
+
+
+def _enc_leg_type(w, v):                  # ('min'|'nm', raw_tenths)
+    unit, raw = v
+    w.write(1 if unit == 'min' else 0, 1)
+    _wuint(w, raw, 1, 100 if unit == 'min' else 128)
+
+
+def _enc_tofrom(w, v):
+    w.write(1 if v == 'FROM' else 0, 1)
+
+
+def _enc_distance(w, v):
+    _wuint(w, v, 0, 8000)
+
+
+def _enc_error(w, v):
+    _wuint(w, v, 0, len(_ERRORS) - 1)
+
+
+def _enc_version(w, v):
+    _wuint(w, v, 0, 15)
+
+
+def _enc_procedure(w, v):                 # (ptype_idx, name, transition|None)
+    ptype, name, transition = v
+    w.write(1 if transition is not None else 0, 1)
+    _wuint(w, ptype, 0, len(_PROC_TYPES) - 1)
+    _wia5(w, name, 1, 20)
+    if transition is not None:
+        _wia5(w, transition, 1, 5)
+
+
+_ARG_ENCODERS = {
+    'altitude': _enc_altitude,
+    'speed': _enc_speed,
+    'time': _enc_time,
+    'position': _enc_position,
+    'distance offset': _enc_distance_offset,
+    'direction': _enc_direction,
+    'degrees': _enc_degrees,
+    'frequency': _enc_frequency,
+    'beacon code': _enc_beacon,
+    'free text': _enc_free_text,
+    'icao facility designation': _enc_facility,
+    'icao unit name': _enc_unit_name,
+    'atis code': _enc_atis,
+    'altimeter': _enc_altimeter,
+    'vertical rate': _enc_vrate,
+    'leg type': _enc_leg_type,
+    'to/from': _enc_tofrom,
+    'distance': _enc_distance,
+    'error information': _enc_error,
+    'version number': _enc_version,
+    'procedure name': _enc_procedure,
+}
+
+
+def encode_args(w: BitWriter, phraseology: str, values: list) -> None:
+    """Encode argument values per the element's placeholder signature."""
+    tokens = _PLACEHOLDER_RE.findall(phraseology)
+    if len(tokens) != len(values):
+        raise ValueError(f'{len(tokens)} placeholders, {len(values)} values')
+    for token, value in zip(tokens, values):
+        enc = _ARG_ENCODERS.get(token)
+        if enc is None:
+            raise ValueError(f'no encoder for [{token}]')
+        enc(w, value)
+
+
+def encode(uplink: bool, min_: int, elements: list,
            mrn: int | None = None,
            timestamp: tuple[int, int, int] | None = None,
            arg_bits: tuple[int, int] | None = None) -> bytes:
-    """Encode a CPDLC message (test-vector generator)."""
+    """Encode a CPDLC message (test-vector generator).
+
+    Each entry of `elements` is either a bare choice index (NULL-argument
+    element, or legacy arg_bits appended verbatim at the end) or an
+    (index, [arg values...]) pair encoded via encode_args.
+    """
     w = BitWriter()
     w.write(1 if mrn is not None else 0, 1)
     w.write(1 if timestamp is not None else 0, 1)
@@ -688,8 +932,14 @@ def encode(uplink: bool, min_: int, elements: list[int],
         w.write(s, 6)
     w.write(len(elements) - 1, 3)
     nbits = UPLINK_CHOICE_BITS if uplink else DOWNLINK_CHOICE_BITS
-    for idx in elements:
-        w.write(idx, nbits)
+    names = UPLINK_MSG if uplink else DOWNLINK_MSG
+    for entry in elements:
+        if isinstance(entry, tuple):
+            idx, values = entry
+            w.write(idx, nbits)
+            encode_args(w, names[idx], values)
+        else:
+            w.write(entry, nbits)
     if arg_bits is not None:
         val, n = arg_bits
         w.write(val, n)
@@ -703,7 +953,8 @@ def _fmt(n: ProtoNode, lines: list[str], indent: int) -> None:
     indent += 1
     if d['err']:
         iprintf(lines, indent, '-- Unparseable CPDLC message')
-        return
+        if 'elements' not in d:
+            return
     hdr = f"Msg ID: {d['min']}"
     if 'mrn' in d:
         hdr += f" Msg Ref: {d['mrn']}"
@@ -711,7 +962,7 @@ def _fmt(n: ProtoNode, lines: list[str], indent: int) -> None:
         hdr += f" Timestamp: {d['timestamp']}"
     iprintf(lines, indent, hdr)
     for el in d['elements']:
-        iprintf(lines, indent, f"{el['id']}: {el['text']}")
+        iprintf(lines, indent, f"{el['id']}: {el.get('rendered', el['text'])}")
         if 'arg_raw' in el:
             iprintf(lines, indent + 1, f"Arguments (undecoded): "
                     f"{el['arg_raw']}")

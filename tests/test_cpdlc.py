@@ -29,17 +29,18 @@ def test_downlink_multi_element_null():
     assert d['elements'][1]['text'] == 'BACK ON ROUTE'
 
 
-def test_uplink_with_args_stops_walk():
-    # uM20 CLIMB TO AND MAINTAIN [altitude] followed by uM165 THEN:
-    # the altitude argument is undecoded, so the walk must stop at uM20
-    # and report the remaining element count.
-    buf = cpdlc.encode(uplink=True, min_=7, elements=[20, 165],
+def test_uplink_with_compound_args_stops_walk():
+    # uM80 CLEARED [route clearance] followed by uM165 THEN: the route
+    # clearance is an unsupported compound type, so the walk must stop
+    # at uM80 with a raw-bits dump and report the remaining count.
+    buf = cpdlc.encode(uplink=True, min_=7, elements=[80, 165],
                        arg_bits=(0b101011, 6))
     d = cpdlc.parse(buf, uplink=True).data
     assert not d['err']
-    assert d['elements'][0]['id'] == 'uM20'
-    assert d['elements'][0]['text'].startswith('CLIMB TO AND MAINTAIN')
+    assert d['elements'][0]['id'] == 'uM80'
+    assert d['elements'][0]['text'] == 'CLEARED [route clearance]'
     assert 'arg_raw' in d['elements'][0]
+    assert 'rendered' not in d['elements'][0]
     assert d['undecoded_elements'] == 1
 
 
@@ -83,3 +84,159 @@ def test_cpdlc_in_full_tree():
     js = formatters.create('json', ctx)
     out = js.format(meta, trees[0])
     assert out is not None and 'MAYDAY' in out
+
+
+# ---------------------------------------------------------------------------
+# Argument decoders: round-trip every entry of _ARG_DECODERS via encode_args
+# ---------------------------------------------------------------------------
+
+def roundtrip(uplink, min_, elements):
+    buf = cpdlc.encode(uplink=uplink, min_=min_, elements=elements)
+    d = cpdlc.parse(buf, uplink=uplink).data
+    assert not d['err'], d
+    return d
+
+
+def test_arg_altitude_variants():
+    # uM19 MAINTAIN [altitude] across CHOICE alternatives
+    for alt_idx, carried, disp in [(0, 5000, '5000 FT QNH'),
+                                   (6, 350, 'FL350'),
+                                   (7, 1050, 'FL10500 (METRIC)'),
+                                   (4, 30000, '30000 FT GNSS')]:
+        d = roundtrip(True, 3, [(19, [(alt_idx, carried)])])
+        assert d['elements'][0]['rendered'] == f'MAINTAIN [{disp}]', d
+        assert 'undecoded_elements' not in d
+
+
+def test_arg_speed_and_continuation():
+    # uM111 INCREASE SPEED TO [speed] THEN uM165: walk continues past args
+    d = roundtrip(True, 9, [(111, [(0, 280)]), 165])
+    assert d['elements'][0]['rendered'] == 'INCREASE SPEED TO [280 KT IAS]'
+    assert d['elements'][1]['text'] == 'THEN'
+    assert 'undecoded_elements' not in d
+    # mach formatting
+    d = roundtrip(True, 9, [(106, [(6, 820)])])
+    assert d['elements'][0]['rendered'] == 'MAINTAIN [M0.820]'
+
+
+def test_arg_time_position_altitude_combo():
+    # uM21 AT [time] CLIMB TO AND MAINTAIN [altitude]
+    d = roundtrip(True, 11, [(21, [(14, 32), (6, 310)])])
+    assert d['elements'][0]['rendered'] == \
+        'AT [14:32] CLIMB TO AND MAINTAIN [FL310]'
+    # uM46 CROSS [position] AT [altitude], fix-name position
+    d = roundtrip(True, 12, [(46, [(0, 'OMLET'), (6, 100)])])
+    assert d['elements'][0]['rendered'] == 'CROSS [OMLET] AT [FL100]'
+    # lat/lon position
+    d = roundtrip(True, 12, [(74, [(3, (51123, 0, 2456, 1))])])
+    assert d['elements'][0]['rendered'] == \
+        'PROCEED DIRECT TO [51.123N 2.456W]'
+
+
+def test_arg_frequency_unit_name():
+    # uM117 CONTACT [icao unit name] [frequency]
+    d = roundtrip(True, 2, [(117, [(False, 'KZAK', 8), (0, 8912)])])
+    assert d['elements'][0]['rendered'] == 'CONTACT [KZAK RADIO] [8912 KHZ]'
+    # VHF raster: 760 channels from 118.000
+    d = roundtrip(True, 2, [(120, [(True, 'TOKYO', 0), (1, 132)])])
+    assert d['elements'][0]['rendered'] == 'MONITOR [TOKYO CENTER] [121.300 MHZ]'
+
+
+def test_arg_beacon_degrees_direction_offset():
+    d = roundtrip(True, 4, [(123, ['0745'])])
+    assert d['elements'][0]['rendered'] == 'SQUAWK [0745]'
+    d = roundtrip(True, 4, [(94, ['LEFT', (True, 270)])])
+    assert d['elements'][0]['rendered'] == \
+        'TURN [LEFT] HEADING [270 DEGREES TRUE]'
+    d = roundtrip(True, 4, [(64, [('nm', 20), 'RIGHT'])])
+    assert d['elements'][0]['rendered'] == 'OFFSET [20 NM] [RIGHT] OF ROUTE'
+
+
+def test_arg_freetext_facility_atis_altimeter():
+    d = roundtrip(True, 5, [(169, ['CHECK FUEL STATE'])])
+    assert d['elements'][0]['rendered'] == '[CHECK FUEL STATE]'
+    d = roundtrip(True, 5, [(160, ['KZAKZQZX'])])
+    assert d['elements'][0]['rendered'] == 'NEXT DATA AUTHORITY [KZAKZQZX]'
+    d = roundtrip(True, 5, [(158, ['K'])])
+    assert d['elements'][0]['rendered'] == 'ATIS [K]'
+    d = roundtrip(True, 5, [(153, [('hpa', 10132)])])
+    assert d['elements'][0]['rendered'] == 'ALTIMETER [1013.2 HPA]'
+    d = roundtrip(True, 5, [(153, [('inhg', 2992)])])
+    assert d['elements'][0]['rendered'] == 'ALTIMETER [29.92 INHG]'
+
+
+def test_arg_vrate_leg_error_version_procedure():
+    d = roundtrip(True, 6, [(171, [('ft', 1500)])])
+    assert d['elements'][0]['rendered'] == 'CLIMB AT [1500 FT/MIN] MINIMUM'
+    d = roundtrip(True, 6, [(91, [(0, 'PIPPA'), (6, 90), (True, 180),
+                                  'RIGHT', ('min', 15)])])
+    assert 'HOLD AT [PIPPA]' in d['elements'][0]['rendered']
+    assert '[1.5 MIN LEG]' in d['elements'][0]['rendered']
+    d = roundtrip(True, 6, [(159, [2])])
+    assert d['elements'][0]['rendered'] == \
+        'ERROR [UNRECOGNIZED MESSAGE REFERENCE NUMBER]'
+    d = roundtrip(False, 6, [(73, [1])])
+    assert d['elements'][0]['rendered'] == '[1]'
+    d = roundtrip(True, 6, [(81, [(1, 'ILS27L', None)])])
+    assert d['elements'][0]['rendered'] == 'CLEARED [ILS27L APPROACH]'
+    d = roundtrip(True, 6, [(81, [(2, 'RWY09', 'TR1')])])
+    assert d['elements'][0]['rendered'] == \
+        'CLEARED [RWY09 DEPARTURE TRANSITION TR1]'
+
+
+def test_downlink_args():
+    # dM32 PRESENT ALTITUDE [altitude]; dM47 SQUAWKING [beacon code];
+    # dM78 AT [time] [distance] [to/from] [position]
+    d = roundtrip(False, 22, [(32, [(6, 390)])])
+    assert d['elements'][0]['rendered'] == 'PRESENT ALTITUDE [FL390]'
+    d = roundtrip(False, 23, [(47, ['2000'])])
+    assert d['elements'][0]['rendered'] == 'SQUAWKING [2000]'
+    d = roundtrip(False, 24, [(78, [(8, 5), 120, 'TO', (1, 'SFO')])])
+    assert d['elements'][0]['rendered'] == \
+        'AT [08:05] [120 NM] [TO] [SFO]'
+
+
+def test_unsupported_compound_falls_back_raw():
+    # uM79 CLEARED TO [position] VIA [route clearance]: position decodes
+    # but route clearance is unsupported -> whole element falls back to
+    # raw bits and the walk stops.
+    w = cpdlc.BitWriter()
+    cpdlc._enc_position(w, (0, 'ABC'))
+    w.write(0b1011, 4)   # pretend route-clearance bits
+    nbits = w.bits
+    buf = cpdlc.encode(uplink=True, min_=7, elements=[79, 165],
+                       arg_bits=(int(''.join(map(str, nbits)), 2), len(nbits)))
+    d = cpdlc.parse(buf, uplink=True).data
+    assert not d['err']
+    assert d['elements'][0]['id'] == 'uM79'
+    assert 'arg_raw' in d['elements'][0] and 'rendered' not in d['elements'][0]
+    assert d['undecoded_elements'] == 1
+
+
+def test_corrupt_args_fall_back_raw_not_crash():
+    # giving uM19 (altitude) garbage that overruns the buffer must fall
+    # back to raw bits, not crash or flag the whole message
+    buf = cpdlc.encode(uplink=True, min_=7, elements=[19],
+                       arg_bits=(0b101, 3))
+    d = cpdlc.parse(buf, uplink=True).data
+    assert not d['err']
+    assert 'arg_raw' in d['elements'][0]
+
+
+def test_cr1_cc1_dr1_connect_management():
+    """CR1/DR1 decode with downlink grammar, CC1 with uplink grammar."""
+    from dumphfdl_tpu.protocol.acars import _parse_arinc622
+    payload = cpdlc.encode(uplink=False, min_=0, elements=[(73, [1])])
+    for imi, updir in (('CR1', 'air2gnd'), ('DR1', 'air2gnd')):
+        text = f'/OAKODYA.{imi}.HFDLTU'
+        raw = text.encode() + payload + b'\x00\x00'
+        node = _parse_arinc622(text, raw, updir)
+        assert node is not None and node.next is not None
+        assert node.next.data['dir'] == 'downlink'
+        assert node.next.data['elements'][0]['rendered'] == '[1]'
+    up = cpdlc.encode(uplink=True, min_=0, elements=[(163, ['KZAKZQZX'])])
+    text = '/OAKODYA.CC1.HFDLTU'
+    raw = text.encode() + up + b'\x00\x00'
+    node = _parse_arinc622(text, raw, 'gnd2air')
+    assert node.next.data['dir'] == 'uplink'
+    assert node.next.data['elements'][0]['rendered'] == '[KZAKZQZX]'

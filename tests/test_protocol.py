@@ -244,3 +244,52 @@ def test_ac_cache_ttl():
     time.sleep(0.02)
     assert cache.lookup(8912000, 0x21) is None
     assert cache.expire() == 0
+
+
+# ---------------------------------------------------------------------------
+# MIAM (ARINC 841) recognition
+# ---------------------------------------------------------------------------
+
+def test_miam_single_transfer_with_deflate():
+    import zlib
+    from dumphfdl_tpu.protocol import miam
+    payload = zlib.compress(b'HELLO MIAM WORLD' * 4)
+    body = b'T' + b'1' + b'0' + b'xx' + payload
+    node = miam.parse('MA', body.decode('latin-1'), body)
+    assert node is not None
+    d = node.data
+    assert d['frame_type'] == 'Single Transfer'
+    core = d['core']
+    assert core['version'] == 1
+    assert core['pdu_type'] == 'Data'
+    assert core['compression'].startswith('deflate')
+    txt_lines = []
+    node.text_formatter(node, txt_lines, 0)
+    assert any('Single Transfer' in ln for ln in txt_lines)
+    assert any('deflate' in ln for ln in txt_lines)
+
+
+def test_miam_frame_id_table():
+    from dumphfdl_tpu.protocol import miam
+    for fid, name in [('F', 'File Transfer Request'), ('S', 'File Segment'),
+                      ('K', 'File Transfer Accept'), ('A', 'File Transfer Abort'),
+                      ('X', 'MIAM XON IND'), ('Y', 'MIAM XOFF IND')]:
+        node = miam.parse('MA', fid + 'data', (fid + 'data').encode())
+        assert node.data['frame_type'] == name
+    assert miam.parse('MA', 'Qjunk', b'Qjunk') is None   # unknown frame id
+    assert miam.parse('H1', 'Tdata', b'Tdata') is None   # wrong label
+
+
+def test_miam_in_acars_tree():
+    """Label 'MA' ACARS message grows a MIAM child node."""
+    from dumphfdl_tpu.protocol import acars as acars_mod
+    from dumphfdl_tpu.protocol.runtime import ProtocolContext
+    ctx = ProtocolContext()
+    body = b'T10' + b'\x00\x01binary'
+    buf = (b'\x01' + b'2' + b'.HFDLTU' + b'\x15' + b'MA' + b'2'
+           + b'\x02' + b'M01A' + b'AF0001' + body + b'\x03')
+    node = acars_mod.parse(buf, 'downlink', None, ctx)
+    assert node is not None and not node.data['err']
+    assert node.data['label'] == 'MA'
+    assert node.next is not None and node.next.json_key == "miam"
+    assert node.next.data['frame_type'] == 'Single Transfer'
