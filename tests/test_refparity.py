@@ -1,0 +1,319 @@
+"""Cross-validation against the reference's own compiled code.
+
+These tests compile /root/reference's dependency-free DSP/FEC sources in
+place (see refnative.py) and compare them against dumphfdl_tpu:
+
+  - CRC-16-CCITT               bit-for-bit
+  - next_pow2 / fft decimation geometry helpers
+  - FIR design (firdes_bandpass_c)  float tolerance
+  - fastddc overlap-&-scrap geometry (field mapping incl. pre/post split)
+  - the FULL per-channel channelizer stream (multiply+shift+iFFT+scrap+
+    decimating shift addition) vs Channelizer._channelize_blocks
+  - Viterbi K=7 R=1/2 (Phil Karn port) vs ops/fec.py, clean and noisy
+  - descrambler msequence: both liquid parameterizations of
+    hfdl.c:336-346 as independent dual-convention LFSR models
+
+Stages that remain validated only by independent modeling (liquid-dsp's
+msequence/modem/symsync/agc internals are not in the reference tree and
+liquid cannot be built here): see doc/VALIDATION.md.
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+import refnative
+
+
+@pytest.fixture(scope='session')
+def ref():
+    dll = refnative.load()
+    if dll is None:
+        err = refnative.BUILD_DIR / 'build.err'
+        msg = err.read_text()[:2000] if err.exists() else 'sources/gcc missing'
+        pytest.skip(f'reference parity lib unavailable: {msg}')
+    return dll
+
+
+# ---------------------------------------------------------------------------
+# CRC / small helpers
+# ---------------------------------------------------------------------------
+
+def test_crc16_parity(ref):
+    from dumphfdl_tpu.ops.crc import crc16_ccitt
+    rng = np.random.default_rng(1)
+    for ln in (0, 1, 2, 7, 64, 300):
+        for init in (0xFFFF, 0x0000, 0x1D0F):
+            data = rng.integers(0, 256, ln, dtype=np.uint8).tobytes()
+            want = ref.crc16_ccitt(data, ln, init)
+            assert crc16_ccitt(data, init) == want, (ln, init)
+
+
+def test_geometry_helpers_parity(ref):
+    from dumphfdl_tpu.dsp import frontend
+    for x in (1, 2, 3, 5, 127, 128, 129, 48000):
+        assert frontend.next_pow2(x) == ref.next_pow2(x), x
+    for fs in (48000, 96000, 192000, 250000, 768000, 2048000):
+        assert frontend.compute_fft_decimation_rate(fs) == \
+            ref.compute_fft_decimation_rate(fs, 5400), fs
+
+
+def test_firdes_bandpass_parity(ref):
+    from dumphfdl_tpu.dsp import frontend
+    for length, lo, hi in [(257, -0.1, 0.1), (129, 0.05, 0.15),
+                           (513, -0.22, -0.18), (65, -0.5 / 8, 0.5 / 8)]:
+        out = np.zeros(length, dtype=np.complex64)
+        ref.firdes_bandpass_c(out.ctypes.data, length,
+                              ctypes.c_float(lo), ctypes.c_float(hi),
+                              refnative.WINDOW_HAMMING)
+        mine = frontend.firdes_bandpass_c(length, lo, hi)
+        np.testing.assert_allclose(mine.astype(np.complex64), out,
+                                   rtol=2e-4, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# fastddc geometry
+# ---------------------------------------------------------------------------
+
+def test_fastddc_geometry_parity(ref):
+    """compute_geometry mirrors fastddc_init modulo the pre/post split.
+
+    The reference splits decimation D into pre*post with post=2 for
+    power-of-two D (fastddc.c:48-54) and finishes in the time domain;
+    we fold all of D in the frequency domain.  The invariant mapping:
+    same fft_size/taps/overlap/input_size; our fft_inv/scrap/post_input
+    are exactly half the reference's (their stream still runs at 2x fs1
+    until decimating_shift_addition halves it).
+    """
+    from dumphfdl_tpu.dsp import frontend
+    for fs, decim in [(48000, 8), (96000, 8), (192000, 16), (768000, 64),
+                      (2048000, 128)]:
+        tbw = 250.0 / fs
+        ddc = refnative.FastDDC()
+        rc = ref.fastddc_init(ctypes.byref(ddc), ctypes.c_float(tbw),
+                              decim, ctypes.c_float(0.0))
+        assert rc == 0
+        mine = frontend.compute_geometry(decim, tbw)
+        assert ddc.pre_decimation * ddc.post_decimation == decim
+        assert ddc.post_decimation == 2            # pow2 D -> post is 2
+        assert mine.taps_length == ddc.taps_length, (fs, decim)
+        assert mine.fft_size == ddc.fft_size
+        assert mine.overlap_length == ddc.overlap_length
+        assert mine.input_size == ddc.input_size
+        assert mine.fft_inv_size * 2 == ddc.fft_inv_size
+        assert mine.scrap * 2 == ddc.scrap
+        assert mine.post_input_size * 2 == ddc.post_input_size
+        assert mine.v == ddc.v
+
+
+def test_channel_shift_quantization_parity(ref):
+    """plan_channel's coarse bin quantization == fastddc_init's offsetbin."""
+    from dumphfdl_tpu.dsp import frontend
+    fs, centerfreq = 48000, 8_930_000
+    geo = frontend.compute_geometry(8, 250.0 / fs)
+    for freq in (8_912_000, 8_942_000, 8_927_000, 8_921_500):
+        shift = (centerfreq - (freq + 1440)) / fs
+        ddc = refnative.FastDDC()
+        ref.fastddc_init(ctypes.byref(ddc), ctypes.c_float(250.0 / fs), 8,
+                         ctypes.c_float(shift))
+        plan = frontend.plan_channel(geo, fs, centerfreq, freq)
+        assert plan.coarse_bins == ddc.offsetbin, freq
+        # residual mixer: ours rotates e^{-2pi j residual} per fs1 sample,
+        # the reference e^{+2pi j post_shift*post_decimation}; equal freqs
+        ref_cycles = ddc.post_shift * ddc.post_decimation
+        np.testing.assert_allclose(-plan.residual_cycles, ref_cycles,
+                                   rtol=0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Full channelizer stream parity
+# ---------------------------------------------------------------------------
+
+def _ref_channelize(ref, samples, fs, decim, tbw, shift, nblocks):
+    """Drive fft.c/fastddc.c semantics: overlap-save + forward FFT +
+    swap sides + fastddc_inv_cc per block."""
+    chan = ref.fft_channelizer_create(decim, ctypes.c_float(tbw),
+                                      ctypes.c_float(shift))
+    assert chan
+    ddc = chan.contents.ddc.contents
+    buf = np.zeros(ddc.fft_size, dtype=np.complex64)
+    out_all = []
+    status = chan.contents.shift_status
+    pos = 0
+    outbuf = np.zeros(ddc.fft_inv_size, dtype=np.complex64)
+    for _ in range(nblocks):
+        # fft.c:49-54 overlap-save
+        buf[:ddc.overlap_length] = buf[ddc.input_size:]
+        buf[ddc.overlap_length:] = samples[pos:pos + ddc.input_size]
+        pos += ddc.input_size
+        spec = np.fft.fft(buf).astype(np.complex64)
+        spec = np.fft.fftshift(spec)                 # fft_swap_sides
+        spec = np.ascontiguousarray(spec)
+        status = ref.fastddc_inv_cc(
+            spec.ctypes.data, outbuf.ctypes.data,
+            chan.contents.ddc, chan.contents.inv_plan,
+            ctypes.c_void_p(chan.contents.filtertaps_fft), status)
+        out_all.append(outbuf[:status.output_size].copy())
+    return np.concatenate(out_all)
+
+
+def test_channelizer_stream_parity(ref):
+    """The whole per-channel DDC chain matches the reference's, including
+    filter design, coarse shift, iFFT normalization, scrap, and the
+    residual mixer -- on an actual HFDL frame plus noise."""
+    import jax
+    import jax.numpy as jnp
+    from dumphfdl_tpu.dsp import frontend, modulator
+    from dumphfdl_tpu import constants as C
+
+    fs, centerfreq, freq = 48000, 8_930_000, 8_912_000
+    decim = frontend.compute_fft_decimation_rate(fs)
+    tbw = 250.0 / fs
+    rng = np.random.default_rng(7)
+    pdu = modulator.random_pdu(1, rng)
+    wb = modulator.synthesize_wideband([(pdu, 1, freq)], fs=fs,
+                                       centerfreq=centerfreq, snr_db=30.0,
+                                       seed=3)
+    samples = np.asarray(wb, np.complex64)
+
+    ch = frontend.Channelizer(fs, centerfreq, [freq])
+    geo = ch.geo
+    nblocks = (len(samples)) // geo.input_size
+    nblocks = min(nblocks, 6)   # keep the O(n^2) stub DFT cheap
+    shift = ch.plans[0].shift_rate
+
+    ref_out = _ref_channelize(ref, samples, fs, decim, tbw, shift, nblocks)
+
+    used = nblocks * geo.input_size
+    buf = np.concatenate([np.zeros(geo.overlap_length, np.complex64),
+                          samples[:used]])
+    frames = np.lib.stride_tricks.sliding_window_view(
+        buf, geo.fft_size)[::geo.input_size][:nblocks]
+    out, _ = ch._channelize_blocks(
+        jnp.asarray(np.ascontiguousarray(frames)),
+        jnp.zeros(1, jnp.float32), ch._kernels_fft)
+    mine = np.asarray(jax.device_get(out))[0]
+
+    n = min(len(ref_out), mine.shape[0])
+    assert n >= 4 * geo.post_input_size
+    scale = np.abs(ref_out[:n]).max()
+    err = np.abs(mine[:n] - ref_out[:n]).max() / scale
+    assert err < 2e-3, err
+
+
+# ---------------------------------------------------------------------------
+# Viterbi parity
+# ---------------------------------------------------------------------------
+
+def _ref_viterbi(ref, soft: np.ndarray, nbits: int) -> np.ndarray:
+    vp = ref.create_viterbi27(nbits)
+    assert vp
+    ref.init_viterbi27(vp, 0)
+    sym = np.ascontiguousarray(soft.astype(np.uint8)).tobytes()
+    ref.update_viterbi27_blk(vp, sym, nbits)
+    nbytes = (nbits + 7) // 8
+    out = ctypes.create_string_buffer(nbytes)
+    ref.chainback_viterbi27(vp, out, nbits, 0)
+    ref.delete_viterbi27(vp)
+    packed = np.frombuffer(out.raw, dtype=np.uint8)
+    return np.unpackbits(packed)[:nbits]             # MSB-first per byte
+
+
+def test_viterbi_clean_parity(ref):
+    from dumphfdl_tpu.ops import fec
+    rng = np.random.default_rng(5)
+    for nbits in (64, 120, 1080):
+        bits = rng.integers(0, 2, nbits)
+        bits[-6:] = 0                                # encoder flush
+        soft = fec.hard_to_soft(fec.conv_encode(bits))
+        ref_bits = _ref_viterbi(ref, soft, nbits)
+        my_bits = fec.viterbi_decode_np(soft, nbits)
+        np.testing.assert_array_equal(ref_bits, bits)
+        np.testing.assert_array_equal(my_bits.astype(np.uint8), ref_bits)
+
+
+def test_viterbi_noisy_parity(ref):
+    """Identical survivor decisions under noisy soft bits: both decoders
+    must emit the same bit stream even when it differs from the input."""
+    from dumphfdl_tpu.ops import fec
+    rng = np.random.default_rng(9)
+    nbits = 504
+    bits = rng.integers(0, 2, nbits)
+    bits[-6:] = 0
+    clean = fec.hard_to_soft(fec.conv_encode(bits)).astype(np.float64)
+    for snr_scale in (60.0, 90.0):
+        noisy = clean + rng.normal(0, snr_scale, clean.shape)
+        soft = np.clip(noisy, 0, 255).astype(np.uint8)
+        ref_bits = _ref_viterbi(ref, soft, nbits)
+        my_bits = np.asarray(fec.viterbi_decode_np(soft, nbits), np.uint8)
+        np.testing.assert_array_equal(my_bits, ref_bits)
+    # batched jit path agrees with the numpy golden path
+    import jax
+    soft_b = np.stack([np.clip(clean + rng.normal(0, 70, clean.shape), 0, 255)
+                       for _ in range(4)]).astype(np.uint8)
+    got = np.asarray(jax.device_get(fec.viterbi_decode(soft_b, nbits)))
+    for i in range(4):
+        np.testing.assert_array_equal(
+            got[i].astype(np.uint8), _ref_viterbi(ref, soft_b[i], nbits))
+
+
+def test_demod_softbits_through_reference_viterbi(ref):
+    """Polarity/order cross-check: soft bits produced by OUR demod chain
+    decode to the transmitted PDU through the REFERENCE Viterbi."""
+    import test_roundtrip as rt
+    from dumphfdl_tpu.ops import bits as bitops
+
+    pdu, soft, nbits, mode = rt.demod_soft_bits(seed=21)
+    ref_bits = _ref_viterbi(ref, soft, nbits)
+    octets = bytes(bitops.reverse_bytes(np.packbits(ref_bits)))
+    assert octets[:len(pdu)] == pdu
+
+
+# ---------------------------------------------------------------------------
+# Descrambler: independent dual-convention msequence models
+# ---------------------------------------------------------------------------
+
+def _parity(x: int) -> int:
+    return bin(x).count('1') & 1
+
+
+def _msequence_new(g: int, a: int, n: int) -> list[int]:
+    """liquid >=1.6 convention: left-shift Fibonacci LFSR, output =
+    feedback = parity(state & g) (hfdl.c passes g=0x4001, a=0x4D4B)."""
+    v, out = a, []
+    for _ in range(n):
+        b = _parity(v & g)
+        v = ((v << 1) | b) & 0x7FFF
+        out.append(b)
+    return out
+
+
+def _msequence_old(g: int, a: int, n: int) -> list[int]:
+    """liquid <1.6 convention: the bit-reversed dual -- right-shift LFSR,
+    feedback = parity(state & (g >> 1)) injected at the MSB, output =
+    feedback (hfdl.c passes g=0x8002, a=0x6959)."""
+    v, out = a, []
+    for _ in range(n):
+        f = _parity(v & (g >> 1))
+        out.append(f)
+        v = ((v >> 1) | (f << 14)) & 0x7FFF
+    return out
+
+
+def test_scrambler_dual_convention():
+    """hfdl.c:336-346 feeds different (g, a) pairs to different liquid
+    versions and relies on both producing the same scrambler output.
+    Model both conventions independently: they agree with each other and
+    with sequences.scrambler_bits() -- i.e. our sequence is the unique
+    one consistent with both liquid parameterizations, and its taps are
+    the spec scrambler polynomial x^15 + x + 1."""
+    from dumphfdl_tpu import sequences
+    new = _msequence_new(0x4001, 0x4D4B, 120)
+    old = _msequence_old(0x8002, 0x6959, 120)
+    assert new == old
+    np.testing.assert_array_equal(np.asarray(new, np.int8),
+                                  sequences.scrambler_bits())
+    # init values are mutual 15-bit reversals, as the hfdl.c comment says
+    rev = int(format(0x6959, '015b')[::-1], 2)
+    assert rev == 0x4D4B

@@ -58,3 +58,34 @@ def test_channel_clean_decode(mode):
     assert ev.pdu == pdu
     # training bits should be nearly clean
     assert ev.train_bad <= ev.train_total * 0.05
+
+
+def demod_soft_bits(seed: int = 0, mode: int = 2):
+    """Run the modulator + backend front half (scrambler flip, soft PSK
+    demod, deinterleave, rate averaging) and return the Viterbi INPUT.
+
+    Used by test_refparity.py to feed our soft bits into the reference's
+    own Viterbi (cross-checks soft-bit polarity/ordering conventions).
+    Returns (pdu, soft_chips, nbits, mode).
+    """
+    import jax
+    import jax.numpy as jnp
+    from dumphfdl_tpu import sequences as seq
+    from dumphfdl_tpu.ops import interleave, psk
+
+    rng = np.random.default_rng(seed)
+    pdu = modulator.random_pdu(mode, rng)
+    syms = modulator.encode_pdu_to_data_symbols(pdu, mode)
+    p = C.MODES[mode]
+    scr = seq.bipolar(seq.scrambler_for_symbols(p.num_data_symbols))
+    flipped = jnp.asarray(syms * scr)
+    soft = np.asarray(jax.device_get(
+        psk.soft_demodulate(flipped[None, :], p.arity)))
+    soft = soft.reshape(p.num_encoded_bits)
+    perm = np.asarray(interleave.deinterleave_perm(mode))
+    soft = soft[perm]
+    if p.code_rate == 4:
+        pairs = soft.reshape(-1, 2).astype(np.int32)
+        a, b = pairs[:, 0], pairs[:, 1]
+        soft = ((a & b) + ((a ^ b) >> 1)).astype(np.uint8)
+    return pdu, soft.astype(np.uint8), p.framebits, mode
