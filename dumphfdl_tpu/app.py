@@ -18,7 +18,6 @@ import numpy as np
 from . import constants as C
 from .dsp.channel import FrameEvent
 from .dsp.receiver import WidebandReceiver
-from .io import formats
 from .io.outputs import OutputManager
 from .protocol.pdu import PduMetadata, parse_pdu
 from .protocol.runtime import ProtocolContext
@@ -117,19 +116,22 @@ class HfdlApp:
     # -- main loops --
 
     def run_file(self, path: str, sample_format: str | None = None) -> int:
-        """Offline decode of a raw I/Q file ('-' = stdin, input-file.c)."""
+        """Offline decode of a raw I/Q file ('-' = stdin, input-file.c).
+
+        The read -> convert -> upload chain runs on a background thread
+        (io/ingest.py) so host ingest overlaps device compute, and the
+        integer formats upload in native width with on-device conversion."""
+        from .io import ingest
         fmt = (sample_format or self.cfg.sample_format).upper()
-        bps = formats.bytes_per_sample(fmt)
-        chunk_bytes = self.cfg.read_buffer_size - (self.cfg.read_buffer_size % bps)
         fh = sys.stdin.buffer if path == '-' else open(path, 'rb')
         self._start_nf_stats()
         try:
-            while not self._stop.is_set():
-                raw = fh.read(chunk_bytes)
-                if not raw:
+            raw_iter = ingest.file_chunks(fh, fmt, self.cfg.read_buffer_size,
+                                          stop=self._stop)
+            for xd in ingest.uploaded_stream(raw_iter, fmt):
+                if self._stop.is_set():
                     break
-                samples = formats.convert(raw, fmt)
-                self.handle_events(self.receiver.process(samples))
+                self.handle_events(self.receiver.process(xd))
             self.handle_events(self.receiver.flush())
         finally:
             if path != '-':
@@ -137,15 +139,37 @@ class HfdlApp:
             self._stop.set()
         return 0
 
-    def run_stream(self, sample_iter) -> int:
-        """Decode an iterator of complex64 blocks (live sources)."""
+    def run_stream(self, sample_iter, packed: bool = False) -> int:
+        """Decode an iterator of complex64 chunks (live sources).
+
+        A reader thread drains the source into the lock-free SampleRing
+        (native/hfdl_host.cpp), fixed blocks are uploaded one step ahead
+        of compute, and ring overruns are counted like the reference's
+        complex_samples_produce (input-helpers.c:80-92).  packed=True
+        uploads at CS16 precision (half the bytes; for SDR sources whose
+        native format is already integer)."""
+        from .io import ingest
         self._start_nf_stats()
+        block = max(32768, 1 << int(math.ceil(math.log2(
+            max(self.cfg.sample_rate // 8, 1)))))
+        src = ingest.StreamIngest(sample_iter, block, stop=self._stop)
+        last_over = 0
         try:
-            for samples in sample_iter:
+            for xd in ingest.uploaded_stream(src.blocks(), 'CF32',
+                                             packed=packed):
                 if self._stop.is_set():
                     break
-                self.handle_events(self.receiver.process(samples))
+                self.handle_events(self.receiver.process(xd))
+                over = src.overruns
+                if over != last_over:
+                    print(f'input: ring overrun, {over - last_over} samples '
+                          'dropped', file=sys.stderr)
+                    if self.statsd is not None:
+                        self.statsd.increment('input.overruns',
+                                              over - last_over)
+                    last_over = over
         finally:
+            src.stop()
             self._stop.set()
         return 0
 

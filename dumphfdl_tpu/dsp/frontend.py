@@ -194,7 +194,17 @@ class Channelizer:
         # (C, T) bulk (the device<->host bounce would dominate on
         # bandwidth-limited interconnects; cf. the reference keeping all
         # DSP in one process for the same reason).
-        self._in_tail = np.zeros(geo.overlap_length, dtype=np.complex64)
+        # wideband staging ring (DEVICE-RESIDENT): raw/packed uploads land
+        # here and the overlap-save framing happens on device, so the
+        # overlap tail never bounces to the host and no redundant
+        # fft_size/input_size window duplication crosses the interconnect.
+        # Pre-seeded with overlap_length zeros (the initial overlap-save
+        # tail, fft.c:49-54 equivalent).
+        from ..utils.xfer import czeros as _czeros
+        self._rw = 1 << int(np.ceil(np.log2(
+            geo.overlap_length + 4 * geo.input_size + 1)))
+        self._wb_ring = _czeros((self._rw,))
+        self._wb_fill = geo.overlap_length
         self._mixer_phase = jnp.zeros(self.num_channels, dtype=jnp.float32)
         self._out_count = 0            # total 5400-sps samples emitted
         self.ratio = self.fs1 / C.INTERNAL_RATE   # fs1 samples per output
@@ -272,37 +282,67 @@ class Channelizer:
         beyond fill is don't-care)."""
         return jnp.roll(ring, -drop[0, 0], axis=1)
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _wb_append(self, ring: jax.Array, x: jax.Array,
+                   fill: jax.Array) -> jax.Array:
+        return jax.lax.dynamic_update_slice(
+            ring, x.astype(ring.dtype), (fill[0, 0],))
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _wb_frames(self, ring: jax.Array, n_now: int
+                   ) -> tuple[jax.Array, jax.Array]:
+        """Overlap-save framing on device: (n_now, fft_size) windows strided
+        by input_size from the ring front, then consume n_now*input_size
+        (the trailing overlap_length stays -- the carried tail)."""
+        geo = self.geo
+        idx = (jnp.arange(n_now, dtype=jnp.int32)[:, None] * geo.input_size
+               + jnp.arange(geo.fft_size, dtype=jnp.int32)[None, :])
+        return ring[idx], jnp.roll(ring, -(n_now * geo.input_size))
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _wb_grow(self, ring: jax.Array, newcap: int) -> jax.Array:
+        return jnp.pad(ring, (0, newcap - ring.shape[0]))
+
     # ---- streaming API ----
 
-    def process_device(self, samples: np.ndarray) -> list[jax.Array]:
-        """Feed wideband samples; returns device-resident (C, out_chunk)
-        blocks at 5400 sps (>= 0 full chunks; remainder stays buffered)."""
+    def process_device(self, samples) -> list[jax.Array]:
+        """Feed wideband samples (numpy, or an already-uploaded device
+        array from the prefetching ingest path); returns device-resident
+        (C, out_chunk) blocks at 5400 sps (>= 0 full chunks; remainder
+        stays buffered on device)."""
         geo = self.geo
-        buf = np.concatenate([self._in_tail, np.asarray(samples, np.complex64)])
-        n_frames = (len(buf) - geo.overlap_length) // geo.input_size
+        if isinstance(samples, jax.Array):
+            x = samples
+        else:
+            x = device_put_safe(np.asarray(samples, np.complex64))
+        n = int(x.shape[0])
+        if n:
+            while self._wb_fill + n > self._rw:
+                self._rw *= 2
+                self._wb_ring = self._wb_grow(self._wb_ring, self._rw)
+            self._wb_ring = self._wb_append(
+                self._wb_ring, x,
+                device_put_safe(np.asarray([[self._wb_fill]], np.int32)))
+            self._wb_fill += n
         chunks: list[jax.Array] = []
-        while n_frames > 0:
-            # bound each append so it always fits the ring's headroom
-            n_now = min(n_frames, max(1, (self._r1 - self._fs1_fill)
-                                      // geo.post_input_size - 1))
+        while (avail := (self._wb_fill - geo.overlap_length)
+                // geo.input_size) > 0:
+            # bound each append so it always fits the fs1 ring's headroom
+            n_now = min(avail, max(1, (self._r1 - self._fs1_fill)
+                                   // geo.post_input_size - 1))
             if (self._fs1_fill + n_now * geo.post_input_size) > self._r1:
                 chunks.extend(self._drain_resampler())
                 if (self._fs1_fill + n_now * geo.post_input_size) > self._r1:
                     raise RuntimeError('fs1 ring overflow (consumer stalled)')
-            used = n_now * geo.input_size
-            frames = np.lib.stride_tricks.sliding_window_view(
-                buf[:used + geo.overlap_length], geo.fft_size)[::geo.input_size]
-            buf = buf[used:]
-            n_frames -= n_now
+            frames, self._wb_ring = self._wb_frames(self._wb_ring, n_now)
+            self._wb_fill -= n_now * geo.input_size
             out, self._mixer_phase = self._channelize_blocks(
-                device_put_safe(np.ascontiguousarray(frames)),
-                self._mixer_phase, self._kernels_fft)
+                frames, self._mixer_phase, self._kernels_fft)
             self._fs1_ring = self._ring_append(
                 self._fs1_ring, out,
                 device_put_safe(np.asarray([[self._fs1_fill]], np.int32)))
             self._fs1_fill += n_now * geo.post_input_size
             chunks.extend(self._drain_resampler())
-        self._in_tail = buf
         return chunks
 
     def process(self, samples: np.ndarray) -> np.ndarray:

@@ -58,8 +58,8 @@ class StatsdClient:
         except OSError:
             pass
 
-    def increment(self, metric: str) -> None:
-        self._send(metric, 1, 'c')
+    def increment(self, metric: str, count: int = 1) -> None:
+        self._send(metric, int(count), 'c')
 
     def gauge(self, metric: str, value: int) -> None:
         self._send(metric, int(value), 'g')

@@ -116,6 +116,67 @@ def device_put_cs16(x: np.ndarray) -> jax.Array:
     return _unpack_i16(jnp.asarray(_pad_rows(packed.reshape(-1))), x.shape)
 
 
+@functools.partial(jax.jit, static_argnames=('n',))
+def _unpack_cs16_raw(packed, n: int):
+    """(rows, 128) i32 of packed int16 I/Q pairs -> (n,) complex64.
+
+    Same reciprocal-multiply scaling as the native C++ converter
+    (native/hfdl_host.cpp hfdl_convert_cs16); matches the numpy fallback
+    divide to 1 ULP (XLA rewrites constant division to reciprocal
+    multiply, so true division is not expressible on device anyway)."""
+    w = packed.reshape(-1)[:n]
+    re = jnp.right_shift(w, 16).astype(jnp.float32)
+    im = jnp.right_shift(jnp.left_shift(w, 16), 16).astype(jnp.float32)
+    scale = np.float32(1.0) / np.float32(32767.5)
+    return jax.lax.complex(re * scale, im * scale)
+
+
+def device_put_cs16_raw(raw: np.ndarray) -> jax.Array:
+    """Upload raw interleaved int16 I/Q in native width (4 bytes/sample,
+    half the float-pair route) and convert on device.
+
+    The int16 values ride untouched; the full-scale conversion
+    (input-helpers.c:34-55) happens in f32 on device, matching
+    formats.convert(raw, 'CS16') to 1 ULP."""
+    v = np.ascontiguousarray(raw).view(np.int16)
+    re = v[0::2].astype(np.int32)
+    im = v[1::2].astype(np.int32)
+    packed = (re << 16) | (im & 0xFFFF)
+    return _unpack_cs16_raw(jnp.asarray(_pad_rows(packed)), re.size)
+
+
+@functools.partial(jax.jit, static_argnames=('n',))
+def _unpack_cu8_raw(packed, n: int):
+    """(rows, 128) i32 of 4 packed CU8 bytes -> (n,) complex64.
+
+    Matches formats.convert(.., 'CU8') -- (byte - 63.5) / 127.0 -- to
+    1 ULP (see _unpack_cs16_raw on XLA's constant-division rewrite)."""
+    w = packed.reshape(-1)
+
+    def byte(k):
+        return jnp.bitwise_and(
+            jax.lax.shift_right_logical(w, 8 * k), 0xFF).astype(jnp.float32)
+
+    re = jnp.stack([byte(0), byte(2)], axis=1).reshape(-1)[:n]
+    im = jnp.stack([byte(1), byte(3)], axis=1).reshape(-1)[:n]
+    scale = np.float32(127.0)
+    off = np.float32(63.5)
+    return jax.lax.complex((re - off) / scale, (im - off) / scale)
+
+
+def device_put_cu8_raw(raw: np.ndarray) -> jax.Array:
+    """Upload raw CU8 I/Q bytes in native width (2 bytes/sample, a quarter
+    of the float-pair route) and convert on device (matches
+    formats.convert(raw, 'CU8') to 1 ULP)."""
+    b = np.ascontiguousarray(raw, np.uint8).reshape(-1)
+    n = b.size // 2                      # complex samples
+    b = b[:2 * n]
+    if b.size % 4:
+        b = np.concatenate([b, np.zeros(2, np.uint8)])
+    packed = b.view('<i4').astype(np.int32, copy=False)
+    return _unpack_cu8_raw(jnp.asarray(_pad_rows(packed)), n)
+
+
 def czeros(shape: tuple) -> jax.Array:
     """complex64 zeros.
 
