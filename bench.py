@@ -1,36 +1,41 @@
 #!/usr/bin/env python
-"""Benchmark: sustained real-time HFDL channel capacity on one chip.
+"""Benchmark: sustained real-time HFDL capacity on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Measured quantity: narrowband channel-samples/s through the fused demod
-step (AGC -> matched filter -> tracker scan -> frame scatter -> event
-compaction) for a large channel batch, i.e. how many 5400-sps HFDL
-channels one chip demodulates in real time.  This is the north-star
-metric (BASELINE.json: "real-time HFDL channels/chip").
+Two measurements run in watchdogged subprocesses:
 
-Baseline: the reference decoder's published operating point sustains
-~2 Msps of wideband input on ~3 CPU cores (Odroid XU4,
-/root/reference/README.md:969), i.e. about 12 active HFDL channels (two
-~0.75 MHz subbands with ~6 assigned channels each; channel count beyond
-that is bandwidth-, not CPU-, limited).  vs_baseline = channels / 12.
+1. **Full pipeline** (the headline number, BASELINE config #4): a
+   synthesized wideband CS16 capture with real frame traffic on N
+   channels is decoded through the production path -- raw-width upload,
+   device channelizer (overlap-save FFT, per-channel DDC), fused demod
+   step, frame backend (Viterbi), protocol stack, text formatter, output
+   thread.  Identical code to `dumphfdl-tpu --iq-file`.  The value is
+   real-time channel capacity: num_channels x (capture_duration / wall).
+2. **Demod-only** (continuity with BENCH_r01): channel-samples/s through
+   the fused demod step alone on noise input, reported as
+   `demod_only_channels`.
+
+Baseline: the reference decoder sustains ~2 Msps of wideband input on
+~3 CPU cores (Odroid XU4, /root/reference/README.md:969), i.e. about 12
+active HFDL channels (two ~0.75 MHz subbands with ~6 assigned channels
+each).  vs_baseline = channels / 12.
 
 Robustness: the experimental axon TPU tunnel wedges on certain RPCs and
-can take minutes to initialize, so the measurement runs in a watchdogged
-subprocess with transfer-safe settings; on failure the bench reruns on
-CPU and labels the metric accordingly.
+can take minutes to initialize, so each measurement runs in a separate
+subprocess with transfer-safe settings; on failure it reruns on CPU and
+the metric label says so.
 """
 
 import json
 import os
 import subprocess
 import sys
-import time
 
 BASELINE_CHANNELS = 12.0
 
-_CHILD_CODE = r'''
+_PRELUDE = r'''
 import os, sys, time, json
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax-bench')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
@@ -58,7 +63,9 @@ while not healthy():
         print(json.dumps({'error': 'backend unhealthy'}), flush=True)
         sys.exit(3)
     time.sleep(15)
+'''
 
+_DEMOD_CHILD = _PRELUDE + r'''
 from dumphfdl_tpu.dsp.channel import ChannelBank
 from dumphfdl_tpu.utils.prefetch import device_prefetch
 
@@ -86,49 +93,157 @@ print(json.dumps({'platform': platform, 'chan_sps': chan_sps,
                   'channels': num_channels}), flush=True)
 '''
 
+_E2E_CHILD = _PRELUDE + r'''
+import io as io_mod
+from dumphfdl_tpu import constants as C
+from dumphfdl_tpu.dsp import modulator
+from dumphfdl_tpu.io import formats as fmts, ingest
+from dumphfdl_tpu.app import AppConfig, HfdlApp
+from dumphfdl_tpu.io.outputs import OutputManager, OutputSpec
+from dumphfdl_tpu.protocol.runtime import ProtocolContext, ProtocolOptions
+from dumphfdl_tpu.protocol.enrichment import AcCache, SysTable
 
-def run_child(force_cpu: bool, timeout: float) -> dict | None:
+FS = int(os.environ.get('BENCH_E2E_FS', '1728000'))        # 320 x 5400
+NCH = int(os.environ.get('BENCH_E2E_CHANNELS', '128'))
+PASSES = int(os.environ.get('BENCH_E2E_PASSES', '3'))
+CENTER = 10_000_000
+SPACING = 8_000
+freqs = [CENTER + (i - NCH // 2) * SPACING for i in range(NCH)]
+
+# synthesized capture: real frame traffic on every NCH//16-th channel,
+# cycling through the single-slot modes (BASELINE config #4)
+single_slot = [m for m in range(len(C.MODES)) if C.MODES[m].slot == 'S']
+rng = np.random.default_rng(0)
+emissions = []
+for k, ci in enumerate(range(0, NCH, max(1, NCH // 16))):
+    mode = single_slot[k % len(single_slot)]
+    emissions.append((modulator.make_test_mpdu(mode, rng), mode, freqs[ci]))
+t0 = time.time()
+wb = modulator.synthesize_wideband_fft(emissions, fs=FS, centerfreq=CENTER,
+                                       snr_db=30.0)
+raw = fmts.serialize(wb, 'CS16')
+n_samples = len(wb)
+duration = n_samples / FS
+print(f'# capture: {duration:.2f}s x {FS/1e6:.3f} Msps, {len(emissions)} '
+      f'frames, synth {time.time()-t0:.1f}s', file=sys.stderr, flush=True)
+
+ctx = ProtocolContext(systable=SysTable(None), ac_cache=AcCache(),
+                      ac_data=None, options=ProtocolOptions())
+outputs = OutputManager(ctx, hwm=0)
+outputs.add_output(OutputSpec.parse('decoded:text:file:path=/dev/null'))
+cfg = AppConfig(frequencies=freqs, sample_rate=FS, centerfreq=CENTER)
+app = HfdlApp(cfg, ctx, outputs)
+
+def one_pass():
+    fh = io_mod.BytesIO(raw)
+    for xd in ingest.uploaded_stream(
+            ingest.file_chunks(fh, 'CS16', 1 << 20), 'CS16'):
+        app.handle_events(app.receiver.process(xd))
+
+t0 = time.time()
+one_pass()                                   # compile + warm
+print(f'# compile+first pass: {time.time()-t0:.1f}s, '
+      f'{app.frames_decoded} frames', file=sys.stderr, flush=True)
+t0 = time.time()
+for _ in range(PASSES):
+    one_pass()
+wall = time.time() - t0
+rt = PASSES * duration / wall
+print(json.dumps({'platform': platform,
+                  'e2e_rt_channels': NCH * rt,
+                  'wideband_sps': FS * rt,
+                  'rt_factor': rt,
+                  'channels': NCH,
+                  'frames_decoded': app.frames_decoded,
+                  # ~one pass of frames is still in flight in the device
+                  # rings when the clock stops (1 s demod block granularity)
+                  'frames_expected': PASSES * len(emissions)}),
+      flush=True)
+outputs.shutdown()
+'''
+
+
+def run_child(code: str, key: str, force_cpu: bool, timeout: float,
+              extra_env: dict | None = None) -> dict | None:
     env = dict(os.environ)
-    env.setdefault('PYTHONPATH', '')
     repo = os.path.dirname(os.path.abspath(__file__))
     env['PYTHONPATH'] = ':'.join(
         p for p in [repo, env.get('PYTHONPATH', '')] if p)
     if force_cpu:
         env['BENCH_FORCE_CPU'] = '1'
+    env.update(extra_env or {})
     try:
-        out = subprocess.run([sys.executable, '-c', _CHILD_CODE],
+        out = subprocess.run([sys.executable, '-c', code],
                              capture_output=True, text=True, timeout=timeout,
                              env=env, cwd=repo)
     except subprocess.TimeoutExpired:
         return None
+    sys.stderr.write(out.stderr[-2000:])
     for line in reversed(out.stdout.strip().splitlines()):
         try:
             obj = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if 'chan_sps' in obj:
+        if key in obj:
             return obj
     return None
 
 
 def main() -> int:
-    result = run_child(force_cpu=False, timeout=480)
-    fallback = ''
-    if result is None:
-        result = run_child(force_cpu=True, timeout=300)
-        fallback = ', accelerator unavailable -> CPU fallback'
-    if result is None:
+    e2e = run_child(_E2E_CHILD, 'e2e_rt_channels', force_cpu=False,
+                    timeout=540)
+    e2e_fallback = ''
+    if e2e is None:
+        e2e = run_child(_E2E_CHILD, 'e2e_rt_channels', force_cpu=True,
+                        timeout=420,
+                        extra_env={'BENCH_E2E_CHANNELS': '32',
+                                   'BENCH_E2E_PASSES': '1'})
+        e2e_fallback = ', accelerator unavailable -> CPU fallback'
+
+    demod = run_child(_DEMOD_CHILD, 'chan_sps', force_cpu=False, timeout=420)
+    if demod is None:
+        demod = run_child(_DEMOD_CHILD, 'chan_sps', force_cpu=True,
+                          timeout=300)
+
+    if e2e is None and demod is None:
         print(json.dumps({'metric': 'bench failed', 'value': 0,
                           'unit': 'channels', 'vs_baseline': 0.0}))
         return 0
-    channels_rt = result['chan_sps'] / 5400.0
+
+    extras = {}
+    if demod is not None:
+        extras['demod_only_channels'] = round(demod['chan_sps'] / 5400.0, 1)
+        extras['demod_batch'] = demod['channels']
+    if e2e is None:
+        # fall back to the demod-only headline (r01 semantics)
+        channels_rt = demod['chan_sps'] / 5400.0
+        print(json.dumps({
+            'metric': ('real-time HFDL channels, fused demod pipeline '
+                       f"(1 {demod['platform']} device, "
+                       f"{demod['channels']}-channel batch; e2e bench failed)"),
+            'value': round(channels_rt, 1),
+            'unit': 'channels',
+            'vs_baseline': round(channels_rt / BASELINE_CHANNELS, 2),
+            **extras,
+        }))
+        return 0
+
+    extras['wideband_msps'] = round(e2e['wideband_sps'] / 1e6, 3)
+    extras['rt_factor'] = round(e2e['rt_factor'], 2)
+    extras['frames_decoded'] = e2e['frames_decoded']
+    extras['frames_expected'] = e2e['frames_expected']
+    value = round(e2e['e2e_rt_channels'], 1)
     print(json.dumps({
-        'metric': ('real-time HFDL channels, fused demod pipeline '
-                   f"(1 {result['platform']} device, "
-                   f"{result['channels']}-channel batch{fallback})"),
-        'value': round(channels_rt, 1),
+        'metric': ('real-time HFDL channels, FULL pipeline: wideband CS16 '
+                   'capture -> upload -> channelizer -> demod -> Viterbi -> '
+                   f"protocol -> text output (1 {e2e['platform']} device, "
+                   f"{e2e['channels']} channels @ "
+                   f"{e2e['wideband_sps']/e2e['rt_factor']/1e6:.3f} Msps"
+                   f'{e2e_fallback})'),
+        'value': value,
         'unit': 'channels',
-        'vs_baseline': round(channels_rt / BASELINE_CHANNELS, 2),
+        'vs_baseline': round(value / BASELINE_CHANNELS, 2),
+        **extras,
     }))
     return 0
 

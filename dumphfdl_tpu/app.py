@@ -38,6 +38,7 @@ class AppConfig:
     sample_format: str = 'CF32'
     output_queue_hwm: int = 1000
     nf_stats_interval: int = 10
+    mesh: str | None = None             # 'TIMExCHAN' device mesh, e.g. '2x4'
 
 
 def compute_centerfreq(frequencies: list[int], sample_rate: int,
@@ -63,8 +64,28 @@ class HfdlApp:
         centerfreq = compute_centerfreq(cfg.frequencies, cfg.sample_rate,
                                         cfg.centerfreq)
         self.centerfreq = centerfreq + cfg.freq_offset
-        self.receiver = WidebandReceiver(cfg.sample_rate, self.centerfreq,
-                                         list(cfg.frequencies))
+        if cfg.mesh:
+            # multi-chip decode on a ('time','chan') mesh: frontend work
+            # shards over 'time' with halo collective-permute, demod
+            # channels shard over all devices (parallel/sharding.py)
+            import jax
+            from jax.sharding import Mesh
+            from .parallel.sharding import ShardedWidebandReceiver
+            t_str, _, k_str = cfg.mesh.lower().partition('x')
+            t_ax, k_ax = int(t_str), int(k_str)
+            devices = jax.devices()
+            if t_ax * k_ax > len(devices):
+                raise ValueError(
+                    f'mesh {cfg.mesh} needs {t_ax * k_ax} devices, '
+                    f'have {len(devices)}')
+            mesh = Mesh(np.asarray(devices[:t_ax * k_ax]).reshape(t_ax, k_ax),
+                        ('time', 'chan'))
+            self.receiver = ShardedWidebandReceiver(
+                cfg.sample_rate, self.centerfreq, list(cfg.frequencies),
+                mesh=mesh)
+        else:
+            self.receiver = WidebandReceiver(cfg.sample_rate, self.centerfreq,
+                                             list(cfg.frequencies))
         self.stream_epoch = time_mod.time()
         self.frames_decoded = 0
         self._stop = threading.Event()

@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help='file input buffer size in bytes')
     src.add_argument('--fft-threads', type=int, default=4,
                      help='accepted for compatibility (XLA manages threads)')
+    src.add_argument('--mesh', metavar='TIMExCHAN', default=None,
+                     help="multi-chip device mesh, e.g. '2x4': frontend "
+                          "FFT work shards over the time axis (halo via "
+                          'collective permute), demod channels over all '
+                          'devices')
 
     out = p.add_argument_group('output options')
     out.add_argument('--output', action='append', default=[],
@@ -167,6 +172,7 @@ def build_app(args) -> HfdlApp:
         sample_format=args.sample_format or 'CF32',
         output_queue_hwm=hwm,
         nf_stats_interval=args.noise_floor_stats_interval,
+        mesh=args.mesh,
     )
     app = HfdlApp(cfg, ctx, outputs, statsd=statsd)
     if args.debug:

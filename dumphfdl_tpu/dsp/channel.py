@@ -171,6 +171,7 @@ class ChannelBank:
     readback gathers."""
     num_channels: int
     mesh: object = None            # jax.sharding.Mesh with a 'chan' axis
+    mesh_axes: tuple = ('chan',)   # mesh axes the channel dim shards over
     auto_shard: bool = True        # shard over local devices when >1
     agc_state: AgcState = None
     tracker_state: TrackerState = None
@@ -192,8 +193,9 @@ class ChannelBank:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             ndev = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names
-                                if a == 'chan'])) or 1
-            self._sharding = NamedSharding(self.mesh, PartitionSpec('chan'))
+                                if a in self.mesh_axes])) or 1
+            self._sharding = NamedSharding(
+                self.mesh, PartitionSpec(tuple(self.mesh_axes)))
         # pad the channel axis to a multiple of the device count
         self._c = -(-self.num_channels // ndev) * ndev
         c = self._c

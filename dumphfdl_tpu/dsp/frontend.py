@@ -184,7 +184,8 @@ class Channelizer:
             taps = firdes_bandpass_c(geo.taps_length, -p.shift_rate - hbw,
                                      -p.shift_rate + hbw)
             kernels[i, :geo.taps_length] = taps
-        self._kernels_fft = device_put_safe(np.fft.fft(kernels, axis=1).astype(np.complex64))
+        self._kernels_fft_np = np.fft.fft(kernels, axis=1).astype(np.complex64)
+        self._kernels_fft = device_put_safe(self._kernels_fft_np)
         self._coarse = np.asarray([p.coarse_bins for p in self.plans], np.int32)
         self._residual = np.asarray([p.residual_cycles for p in self.plans], np.float64)
 
@@ -205,6 +206,14 @@ class Channelizer:
             geo.overlap_length + 4 * geo.input_size + 1)))
         self._wb_ring = _czeros((self._rw,))
         self._wb_fill = geo.overlap_length
+        # per-channel spectrum work in _channelize_blocks materializes
+        # (B, C, fft_size) complex64 intermediates; cap the frame batch so
+        # peak working set stays within a fixed HBM budget at wide
+        # geometries (2 Msps input -> fft_size 256k, like the reference's
+        # FFTW plan at the same rate)
+        budget = 256 << 20
+        self._max_frames = max(1, budget // (8 * max(self.num_channels, 1)
+                                             * geo.fft_size))
         self._mixer_phase = jnp.zeros(self.num_channels, dtype=jnp.float32)
         self._out_count = 0            # total 5400-sps samples emitted
         self.ratio = self.fs1 / C.INTERNAL_RATE   # fs1 samples per output
@@ -328,8 +337,9 @@ class Channelizer:
         while (avail := (self._wb_fill - geo.overlap_length)
                 // geo.input_size) > 0:
             # bound each append so it always fits the fs1 ring's headroom
-            n_now = min(avail, max(1, (self._r1 - self._fs1_fill)
-                                   // geo.post_input_size - 1))
+            n_now = min(avail, self._max_frames,
+                        max(1, (self._r1 - self._fs1_fill)
+                            // geo.post_input_size - 1))
             if (self._fs1_fill + n_now * geo.post_input_size) > self._r1:
                 chunks.extend(self._drain_resampler())
                 if (self._fs1_fill + n_now * geo.post_input_size) > self._r1:

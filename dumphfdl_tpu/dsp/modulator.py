@@ -225,3 +225,44 @@ def synthesize_channel_iq(frames: list[tuple[np.ndarray, int]],
         n = np.arange(len(iq))
         iq = iq * np.exp(2j * np.pi * channel_offset_hz / fs * n)
     return iq.astype(np.complex64)
+
+
+def synthesize_wideband_fft(emissions: list[tuple[bytes, int, int]],
+                            fs: int, centerfreq: int,
+                            snr_db: float | None = 30.0,
+                            amplitude: float = 0.25,
+                            pad_symbols: int = 300,
+                            seed: int = 0) -> np.ndarray:
+    """Fast wideband synthesis: exact frequency-domain upconversion.
+
+    Equivalent to synthesize_wideband but O(n log n): each frame's 5400-sps
+    spectrum is placed directly into the wideband FFT grid (bin spacings
+    match exactly when fs is a multiple of INTERNAL_RATE) and one inverse
+    FFT produces the capture.  Used for large benchmark captures where the
+    polyphase time-domain path would take minutes.
+    """
+    if fs % C.INTERNAL_RATE:
+        raise ValueError('fs must be a multiple of the 5400 sps internal rate')
+    ratio = fs // C.INTERNAL_RATE
+    sigs = []
+    for pdu, mode, chan in emissions:
+        syms = frame_symbols(pdu, mode)
+        iq = synthesize_iq(syms, pad_symbols=(pad_symbols, pad_symbols))
+        sigs.append((iq, chan))
+    n_nb = max(len(s[0]) for s in sigs) + C.INTERNAL_RATE // 10
+    n_wb = n_nb * ratio
+    spec = np.zeros(n_wb, dtype=np.complex128)
+    bins = np.fft.fftfreq(n_nb, 1.0 / n_nb).astype(np.int64)   # 0..+- order
+    for iq, chan in sigs:
+        x = np.fft.fft(iq, n=n_nb)
+        f_off = (chan + C.SSB_CARRIER_OFFSET_HZ) - centerfreq
+        m0 = int(round(f_off * n_wb / fs))
+        spec[(m0 + bins) % n_wb] += x * amplitude
+    wb = (np.fft.ifft(spec) * ratio).astype(np.complex64)
+    if snr_db is not None:
+        rng = np.random.default_rng(seed)
+        es = amplitude ** 2 * 0.5 * (C.SPS / ratio) / C.SPS
+        n0 = es / (10 ** (snr_db / 10))
+        noise = (rng.standard_normal(n_wb) + 1j * rng.standard_normal(n_wb))
+        wb = wb + noise.astype(np.complex64) * np.sqrt(n0 / 2).astype(np.float32)
+    return wb.astype(np.complex64)

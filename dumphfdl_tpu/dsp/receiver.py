@@ -60,8 +60,13 @@ class WidebandReceiver:
     def process(self, wideband: np.ndarray) -> list[FrameEvent]:
         """Feed wideband complex samples; returns completed frames."""
         self.sample_clock += len(wideband)
+        return self._consume_chunks(self.channelizer.process_device(wideband))
+
+    def _consume_chunks(self, chunks) -> list[FrameEvent]:
+        """Append 5400-sps chunks to the device nb ring; run full demod
+        blocks as they fill."""
         events: list[FrameEvent] = []
-        for chunk in self.channelizer.process_device(wideband):
+        for chunk in chunks:
             if self._nb_fill + chunk.shape[1] > self._r2:
                 raise RuntimeError('narrowband ring overflow')
             self._nb_ring = self._nb_append(

@@ -1,23 +1,35 @@
-"""Multi-chip sharding: channel-axis data parallelism + time-axis halo.
+"""Multi-chip sharding: time-axis halo exchange + channel data parallelism.
 
 The scaling story (SURVEY.md §2.9): channels are embarrassingly parallel
 -- the reference's one-FFT-to-N-threads broadcast becomes a sharded batch
 axis -- while the overlap-save forward FFT's `overlap` memmove
-(/root/reference/src/fft.c:49) becomes a ``ppermute`` of boundary samples
-between neighboring time shards.  This module builds the jitted sharded
-decode step used by both production scale-out and the driver's
-multi-chip dry run.
+(/root/reference/src/fft.c:49-54) becomes a ``ppermute`` of boundary
+samples between neighboring time shards.
 
-Mesh axes:
-  'time' -- wideband stream split into consecutive spans (halo exchange
-            via collective permute; frontend only),
-  'chan' -- channel batch axis (demod state fully local; no collectives).
+Production mapping on a ('time', 'chan') mesh:
+
+* **Frontend** (cost ∝ sample rate): each super-block of wideband samples
+  is split into T contiguous spans, one per time shard.  Each shard
+  receives its predecessor's trailing `overlap` samples by collective
+  permute (shard 0 gets the carried tail of the previous super-block),
+  frames its span, runs the batched forward FFT, and computes the
+  per-channel DDC fold for its *local* channel slice (filter kernels
+  sharded over 'chan').  All devices contribute.
+* **Demodulator** (cost ∝ channels): the fused tracker scan is serial in
+  time per channel, so channels shard over BOTH mesh axes (T*K-way);
+  XLA inserts the narrowband redistribution collective at the
+  fs1-ring append boundary.  This is the only bulk cross-chip traffic:
+  C x 6.75 ksps x 8 B -- a few MB/s per thousand channels, riding ICI.
+
+`ShardedWidebandReceiver` is the production entry (used by the app when
+a mesh is configured); `dryrun_multichip` runs it end-to-end on a
+synthesized capture and asserts decoded-PDU correctness.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,9 +37,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import constants as C
-from ..dsp import frontend as fe
-from ..dsp.channel import AgcState, agc_init, channel_step
-from ..dsp.tracker import HALO, tracker_init
+from ..dsp.channel import ChannelBank
+from ..dsp.frontend import Channelizer
+from ..dsp.receiver import WidebandReceiver
 
 
 def make_mesh(devices=None, time_axis: int | None = None) -> Mesh:
@@ -41,132 +53,207 @@ def make_mesh(devices=None, time_axis: int | None = None) -> Mesh:
     return Mesh(arr, ('time', 'chan'))
 
 
-class ShardedDecodeConfig(NamedTuple):
-    geo: fe.DdcGeometry
-    num_channels: int          # total, divisible by chan axis
-    frames_per_shard: int      # forward-FFT frames per time shard
-    demod_block: int           # 5400-sps samples per demod step
-    num_steps: int
+class ShardedFrontend:
+    """Time-sharded overlap-&-scrap channelizer step.
 
-
-def build_config(mesh: Mesh, frames_per_shard: int = 2,
-                 channels_per_shard: int = 2) -> ShardedDecodeConfig:
-    # tiny geometry for dry runs; production uses compute_geometry(fs-based)
-    geo = fe.compute_geometry(decimation=8, transition_bw=0.1)
-    num_channels = mesh.shape['chan'] * channels_per_shard
-    demod_block = 96
-    num_steps = demod_block // C.SPS
-    return ShardedDecodeConfig(geo, num_channels, frames_per_shard,
-                               demod_block, num_steps)
-
-
-def sharded_decode_step(mesh: Mesh, cfg: ShardedDecodeConfig):
-    """Build the jitted multi-chip decode step.
-
-    Layout:
-      wideband x: (T_time, span)        P('time', None)
-      kernels:    (C, fft_size)         P('chan', None)
-      demod states: (C, ...)            P('chan', None) (replicated on time)
-
-    The step:
-      1. halo-exchange `overlap` boundary samples between time shards
-         (collective permute == the reference's overlap-save memmove),
-      2. frame + batched forward FFT per time shard,
-      3. per-channel fold/iFFT (sharded over 'chan'),
-      4. run the fused demod step (AGC/MF/tracker/frame scatter) on each
-         (time, chan) shard's narrowband block,
-      5. psum spectrum power across 'chan' as a wideband health metric.
+    One call consumes a (T, span) super-block (row t = the t-th
+    contiguous span of the wideband stream, sharded P('time')) and
+    returns the (C_pad, T*F*post) narrowband fs1 stream sharded
+    P('chan', 'time'), with the overlap halo exchanged on device.
     """
-    geo = cfg.geo
-    span = cfg.frames_per_shard * geo.input_size
 
-    def step(x, kernels, coarse, agc_state, trk_state, framebuf, tail, lvl_tail):
-        # x: local (1, span); kernels: (C_loc, N)
-        x = x.reshape(span)
-        # --- 1. halo exchange along 'time' (non-circular: shard 0 gets 0s)
-        t_ax = jax.lax.axis_size('time')
-        tail_in = jax.lax.ppermute(
-            x[-geo.overlap_length:], 'time',
-            perm=[(i, i + 1) for i in range(t_ax - 1)])
-        x_ext = jnp.concatenate([tail_in, x])
-        # --- 2. overlap-save framing + forward FFT
-        frames = jnp.stack([
-            jax.lax.dynamic_slice(x_ext, (f * geo.input_size,),
-                                  (geo.fft_size,))
-            for f in range(cfg.frames_per_shard)])
-        spec = jnp.fft.fft(frames, axis=1)                     # (F, N)
-        # --- 3. per-channel fold (channel axis local to this shard)
-        prod = spec[:, None, :] * kernels[None, :, :]          # (F, Cl, N)
-        shifted = jax.vmap(lambda p, b: jnp.roll(p, -b, axis=-1),
-                           in_axes=(1, 0), out_axes=1)(prod, coarse)
+    def __init__(self, ch: Channelizer, mesh: Mesh, c_pad: int,
+                 frames_per_shard: int = 4):
+        self.ch = ch
+        self.mesh = mesh
+        geo = ch.geo
+        self.T = mesh.shape['time']
+        self.F = frames_per_shard
+        self.span = self.F * geo.input_size
+        self.super_len = self.T * self.span
+        self.nb_cols = self.T * self.F * geo.post_input_size
+        self.c_pad = c_pad
+
+        kern = np.zeros((c_pad, geo.fft_size), np.complex64)
+        kern[:ch.num_channels] = ch._kernels_fft_np
+        coarse = np.zeros((c_pad,), np.int32)
+        coarse[:ch.num_channels] = ch._coarse
+        self._residual64 = np.zeros((c_pad,), np.float64)
+        self._residual64[:ch.num_channels] = ch._residual
+        kshard = NamedSharding(mesh, P('chan', None))
+        cshard = NamedSharding(mesh, P('chan'))
+        self._kernels = jax.device_put(kern, kshard)
+        self._coarse_dev = jax.device_put(coarse, cshard)
+        self._residual_dev = jax.device_put(
+            self._residual64.astype(np.float32), cshard)
+        rep = NamedSharding(mesh, P(None))
+        self._tail = jax.device_put(
+            np.zeros(geo.overlap_length, np.complex64), rep)
+        self._x_shard = NamedSharding(mesh, P('time', None))
+        self._ph_shard = NamedSharding(mesh, P('time', 'chan'))
+        self._nb_count = 0          # global fs1 samples emitted
+        self._step = self._build_step()
+
+    def _build_step(self):
+        geo = self.ch.geo
+        T, F = self.T, self.F
+        span = self.span
+        post = geo.post_input_size
+        D = geo.decimation
         L = geo.fft_inv_size
-        folded = shifted.reshape(spec.shape[0], -1, geo.decimation, L).sum(2)
-        nb = jnp.fft.ifft(folded, axis=2)[:, :, geo.scrap:] / geo.decimation
-        nb = nb.transpose(1, 0, 2).reshape(kernels.shape[0], -1)  # (Cl, Tnb)
-        # --- 4. fused demod step on the narrowband block
-        nb_block = jax.lax.dynamic_slice(
-            nb, (0, 0), (nb.shape[0], cfg.demod_block))
-        (agc_state, trk_state, framebuf, tail, lvl_tail, outs,
-         ev_table, _counters) = channel_step(
-            agc_state, trk_state, framebuf, tail, lvl_tail, nb_block,
-            cfg.num_steps)
-        # --- 5. cross-chip reduction: wideband power psum'd over 'chan'
-        power = jax.lax.psum(jnp.sum(jnp.abs(spec) ** 2), 'chan')
-        emitted = jnp.sum(ev_table[:, 0].astype(jnp.int32))
-        return (agc_state, trk_state, framebuf, tail, lvl_tail,
-                power[None], emitted[None])
+        ov = geo.overlap_length
 
-    cl = cfg.num_channels // mesh.shape['chan']
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P('time', None), P('chan', None), P('chan'),
-                  P('chan'), P('chan'), P('chan'), P('chan'), P('chan')),
-        out_specs=(P('chan'), P('chan'), P('chan'), P('chan'), P('chan'),
-                   P('time'), P(('time', 'chan'))),
-        check_vma=False,
-    )
-    return jax.jit(sharded), span, cl
+        def step(x, tail_prev, kernels, coarse, residual, phase0):
+            # local shapes: x (1, span); kernels (Cl, N); phase0 (1, Cl)
+            t = jax.lax.axis_index('time')
+            xl = x[0]
+            # halo exchange == the reference's overlap-save memmove
+            # (fft.c:49-54): my last `ov` samples go to my time-successor
+            halo = jax.lax.ppermute(
+                xl[-ov:], 'time', perm=[(i, i + 1) for i in range(T - 1)])
+            tail = jnp.where(t == 0, tail_prev, halo)
+            x_ext = jnp.concatenate([tail, xl])
+            idx = (jnp.arange(F, dtype=jnp.int32)[:, None] * geo.input_size
+                   + jnp.arange(geo.fft_size, dtype=jnp.int32)[None, :])
+            frames = x_ext[idx]
+            spec = jnp.fft.fft(frames, axis=1)                 # (F, N)
+            prod = spec[:, None, :] * kernels[None, :, :]      # (F, Cl, N)
+            shifted = jax.vmap(lambda p, b: jnp.roll(p, -b, axis=-1),
+                               in_axes=(1, 0), out_axes=1)(prod, coarse)
+            folded = shifted.reshape(F, -1, D, L).sum(2)
+            nb = jnp.fft.ifft(folded, axis=2)[:, :, geo.scrap:] / D
+            nb = nb.transpose(1, 0, 2).reshape(-1, F * post)   # (Cl, F*post)
+            # residual mixer: phase0 computed host-side in f64 for this
+            # shard's first sample; local ramp stays small (f32-safe)
+            ramp = residual[:, None] * jnp.arange(F * post,
+                                                  dtype=jnp.float32)[None, :]
+            ph = phase0[0][:, None] + ramp
+            nb = nb * jnp.exp(-2j * jnp.pi * (ph - jnp.floor(ph)))
+            # next super-block's carried tail: last shard's trailing samples
+            contrib = jnp.where(t == T - 1, xl[-ov:],
+                                jnp.zeros_like(xl[-ov:]))
+            new_tail = jax.lax.psum(contrib, 'time')
+            return nb.astype(jnp.complex64), new_tail
+
+        sharded = jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(P('time', None), P(None), P('chan', None),
+                      P('chan'), P('chan'), P('time', 'chan')),
+            out_specs=(P('chan', 'time'), P(None)),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def step(self, x: np.ndarray) -> jax.Array:
+        """x: (super_len,) contiguous wideband samples -> (C_pad, nb_cols)
+        narrowband chunk (sharded); updates the carried overlap tail."""
+        post = self.ch.geo.post_input_size
+        xs = jax.device_put(
+            np.ascontiguousarray(x.reshape(self.T, self.span)), self._x_shard)
+        # per-(shard, channel) start phase in f64 (bounded f32 ramps inside)
+        starts = self._nb_count + np.arange(self.T) * self.F * post
+        ph0 = np.mod(self._residual64[None, :] * starts[:, None], 1.0)
+        ph0 = jax.device_put(ph0.astype(np.float32), self._ph_shard)
+        nb, self._tail = self._step(xs, self._tail, self._kernels,
+                                    self._coarse_dev, self._residual_dev, ph0)
+        self._nb_count += self.T * self.F * post
+        return nb
 
 
-def init_sharded_states(mesh: Mesh, cfg: ShardedDecodeConfig):
-    """Device-placed initial states + example inputs for the decode step."""
-    geo = cfg.geo
-    t_ax = mesh.shape['time']
-    span = cfg.frames_per_shard * geo.input_size
-    c = cfg.num_channels
+@dataclasses.dataclass(eq=False)
+class ShardedWidebandReceiver(WidebandReceiver):
+    """WidebandReceiver on a ('time', 'chan') device mesh.
 
-    rng = np.random.default_rng(0)
-    x = (rng.standard_normal((t_ax, span))
-         + 1j * rng.standard_normal((t_ax, span))).astype(np.complex64) * 0.1
+    Frontend work shards over 'time' (halo via collective permute), the
+    demodulator's channel batch shards over all mesh devices; the fs1
+    resampler ring, nb ring, and all demod state are device-resident and
+    channel-sharded."""
+    mesh: Mesh = None
+    frames_per_shard: int = 4
 
-    hbw = 0.5 / geo.decimation
-    kernels = np.zeros((c, geo.fft_size), dtype=np.complex64)
-    coarse = np.zeros((c,), dtype=np.int32)
-    for i in range(c):
-        shift = (i - c / 2) * 0.01
-        taps = fe.firdes_bandpass_c(geo.taps_length, -shift - hbw, -shift + hbw)
-        kernels[i, :geo.taps_length] = taps
-        coarse[i] = geo.v * int(round(-shift * geo.fft_size / geo.v))
+    def __post_init__(self):
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        self.channelizer = Channelizer(self.sample_rate, self.centerfreq,
+                                       list(self.frequencies))
+        self.bank = ChannelBank(len(self.frequencies), mesh=self.mesh,
+                                mesh_axes=('time', 'chan'), auto_shard=False)
+        c_pad = self.bank._c
+        self.frontend = ShardedFrontend(self.channelizer, self.mesh, c_pad,
+                                        self.frames_per_shard)
+        shard2d = NamedSharding(self.mesh, P(('time', 'chan'), None))
+        ch = self.channelizer
+        # rebuild the fs1 ring with padded channel rows, channel-sharded,
+        # and big enough for one sharded frontend step per append
+        need = int(ch.out_chunk * ch.ratio) + ch._rs_taps \
+            + 2 * self.frontend.nb_cols + 64
+        ch._r1 = 1 << int(np.ceil(np.log2(need)))
+        ch._fs1_ring = jax.device_put(
+            np.zeros((c_pad, ch._r1), np.complex64), shard2d)
+        ch._fs1_fill = 0
+        ch._ring_global_start = 0
+        self._r2 = 1 << int(np.ceil(np.log2(
+            self.block_len + 2 * ch.out_chunk)))
+        self._nb_ring = jax.device_put(
+            np.zeros((c_pad, self._r2), np.complex64), shard2d)
+        self._nb_fill = 0
+        self.sample_clock = 0
+        self._wb_buf = np.zeros(0, np.complex64)
 
-    agc = agc_init(c)
-    trk = tracker_init(c)
-    from ..utils.xfer import czeros
-    framebuf = czeros((c, 2, C.DATA_SYMBOLS_MAX))
-    tail = czeros((c, HALO))
-    lvl_tail = jnp.ones((c, HALO), dtype=jnp.float32)
-    from ..utils.xfer import device_put_safe
-    return (device_put_safe(x), device_put_safe(kernels), device_put_safe(coarse),
-            agc, trk, framebuf, tail, lvl_tail)
+    def process(self, wideband: np.ndarray) -> list:
+        self.sample_clock += len(wideband)
+        wideband = np.asarray(wideband, np.complex64)
+        self._wb_buf = np.concatenate([self._wb_buf, wideband])
+        events = []
+        ch = self.channelizer
+        sl = self.frontend.super_len
+        while len(self._wb_buf) >= sl:
+            x, self._wb_buf = self._wb_buf[:sl], self._wb_buf[sl:]
+            nb = self.frontend.step(x)
+            if ch._fs1_fill + self.frontend.nb_cols > ch._r1:
+                raise RuntimeError('fs1 ring overflow (consumer stalled)')
+            from ..utils.xfer import device_put_safe
+            ch._fs1_ring = ch._ring_append(
+                ch._fs1_ring, nb,
+                device_put_safe(np.asarray([[ch._fs1_fill]], np.int32)))
+            ch._fs1_fill += self.frontend.nb_cols
+            events.extend(self._consume_chunks(ch._drain_resampler()))
+        return events
+
+    def flush(self) -> list:
+        pad_wb = int((C.DOUBLE_SLOT_FRAME_LEN + 200) * C.SPS
+                     * self.sample_rate / C.INTERNAL_RATE) \
+            + 4 * self.channelizer.geo.fft_size + 2 * self.frontend.super_len
+        events = []
+        step = self.sample_rate
+        pad = np.zeros(step, dtype=np.complex64)
+        for _ in range(-(-pad_wb // step)):
+            events.extend(self.process(pad))
+        return events
 
 
 def dryrun_multichip(n_devices: int) -> None:
-    """Compile + execute the full sharded decode step on an n-device mesh."""
-    devices = jax.devices()[:n_devices]
-    mesh = make_mesh(devices)
-    cfg = build_config(mesh)
-    step, span, _ = sharded_decode_step(mesh, cfg)
-    args = init_sharded_states(mesh, cfg)
-    out = step(*args)
-    jax.block_until_ready(out)
-    power = np.asarray(out[5])
-    assert np.all(np.isfinite(power)), 'non-finite spectrum power'
+    """Production-geometry multi-chip dry run: decode a synthesized HFDL
+    capture through the time+channel-sharded receiver on an n-device mesh
+    and assert the decoded PDUs match the transmitted ones bit-for-bit
+    (not merely finiteness)."""
+    from ..dsp import modulator
+
+    mesh = make_mesh(jax.devices()[:n_devices])
+    fs, center = 43_200, 10_000_000
+    chans = [9_990_000, 10_008_000]
+    rng = np.random.default_rng(7)
+    pdus = [modulator.make_test_mpdu(1, rng, icao=0x3C4D5E),
+            modulator.make_test_mpdu(3, rng, icao=0x10F2A4)]
+    wb = modulator.synthesize_wideband_fft(
+        [(pdus[0], 1, chans[0]), (pdus[1], 3, chans[1])],
+        fs=fs, centerfreq=center, snr_db=30.0)
+    rx = ShardedWidebandReceiver(fs, center, chans, mesh=mesh)
+    events = []
+    step = fs // 2
+    for off in range(0, len(wb), step):
+        events.extend(rx.process(wb[off:off + step]))
+    events.extend(rx.flush())
+    got = {e.channel: e.pdu for e in events if e.pdu}
+    assert got == {0: pdus[0], 1: pdus[1]}, \
+        f'sharded decode mismatch: got channels {sorted(got)}'

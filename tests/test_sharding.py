@@ -29,6 +29,45 @@ def test_mesh_shapes():
     assert m1.shape['time'] == 1 and m1.shape['chan'] == 1
 
 
+def test_time_sharded_receiver_matches_default():
+    """PDU-level parity: the production ('time','chan')-mesh receiver
+    (halo collective-permute frontend + channel-sharded demod) decodes a
+    wideband capture identically to the default receiver."""
+    import numpy as np
+    from dumphfdl_tpu.dsp import modulator
+    from dumphfdl_tpu.dsp.receiver import WidebandReceiver
+    from dumphfdl_tpu.parallel.sharding import (ShardedWidebandReceiver,
+                                                make_mesh)
+
+    fs, center = 43_200, 10_000_000
+    chans = [9_990_000, 10_000_000, 10_008_000]
+    rng = np.random.default_rng(42)
+    pdus = [modulator.make_test_mpdu(1, rng, icao=0xABCDEF),
+            modulator.make_test_mpdu(3, rng, icao=0x777777)]
+    wb = modulator.synthesize_wideband_fft(
+        [(pdus[0], 1, chans[0]), (pdus[1], 3, chans[2])],
+        fs=fs, centerfreq=center, snr_db=25.0)
+
+    mesh = make_mesh(jax.devices()[:8])          # (time=2, chan=4)
+    assert mesh.shape['time'] == 2
+    results = []
+    for rx in (WidebandReceiver(fs, center, chans),
+               ShardedWidebandReceiver(fs, center, chans, mesh=mesh)):
+        events = []
+        step = fs // 3
+        for off in range(0, len(wb), step):
+            events.extend(rx.process(wb[off:off + step]))
+        events.extend(rx.flush())
+        decoded = sorted((e.channel, e.mode, e.pdu)
+                         for e in events if e.pdu)
+        ferr = {e.channel: e.freq_err_hz for e in events if e.pdu}
+        results.append((decoded, ferr))
+    assert results[0][0] == results[1][0]
+    assert [c for c, _, _ in results[0][0]] == [0, 2]
+    for chan in results[0][1]:
+        assert abs(results[0][1][chan] - results[1][1][chan]) < 0.1
+
+
 def test_channelbank_sharded_matches_single():
     """ChannelBank with an explicit 8-device channel mesh decodes the
     same frame as the unsharded bank (padded dummy channels included)."""
