@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                           'proto,stats,cache,output,misc,all)')
     obs.add_argument('--datadumps', action='store_true',
                      help='dump per-stage DSP signals to rf32/cf32 files')
+    obs.add_argument('--profile', metavar='DIR',
+                     help='record a JAX/xprof profiler trace of the run '
+                          'into DIR (the gperftools -DPROFILING bracket '
+                          'of the reference, main.c:766-768)')
 
     p.add_argument('frequencies', nargs='*', type=float, metavar='FREQ',
                    help='HFDL channel frequencies in kHz')
@@ -190,6 +194,14 @@ def main(argv: list[str] | None = None) -> int:
     app = build_app(args)
     signal.signal(signal.SIGINT, lambda *_: app.stop())
     signal.signal(signal.SIGTERM, lambda *_: app.stop())
+    profile_ctx = None
+    if args.profile:
+        import contextlib
+        import jax
+        profile_ctx = contextlib.ExitStack()
+        profile_ctx.enter_context(jax.profiler.trace(args.profile))
+        print(f'profiling to {args.profile} (view with xprof/tensorboard)',
+              file=sys.stderr)
     try:
         if args.iq_file:
             if not args.sample_format:
@@ -208,10 +220,15 @@ def main(argv: list[str] | None = None) -> int:
                 device_settings=parse_kvargs(args.device_settings or ''),
                 sample_format=args.sample_format,
             )
-            rc = app.run_stream(src.stream())
+            src.connect()
+            # integer-native sources lose nothing to the CS16-packed
+            # device upload (half the transfer bytes)
+            rc = app.run_stream(src.stream(), packed=src.is_integer_format)
         else:
             raise SystemExit('error: no input selected (--iq-file / --soapysdr)')
     finally:
+        if profile_ctx is not None:
+            profile_ctx.close()
         app.shutdown()
     print(f'{app.frames_decoded} frames decoded', file=sys.stderr)
     return rc

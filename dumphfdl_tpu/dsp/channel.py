@@ -131,7 +131,7 @@ def _gather_frames(framebuf: jax.Array, ch: jax.Array,
 _DONATE = () if os.environ.get('DUMPHFDL_NO_DONATE') else (0, 1, 2, 3, 4)
 
 
-@functools.partial(jax.jit, static_argnames=('num_steps',),
+@functools.partial(jax.jit, static_argnames=('num_steps', 'debug_taps'),
                    donate_argnums=_DONATE)
 def channel_step(agc_state: AgcState,
                  tracker_state: TrackerState,
@@ -139,7 +139,8 @@ def channel_step(agc_state: AgcState,
                  tail: jax.Array,
                  lvl_tail: jax.Array,
                  x: jax.Array,
-                 num_steps: int):
+                 num_steps: int,
+                 debug_taps: bool = False):
     """One fused device step: AGC -> MF -> tracker scan -> frame scatter.
 
     This is the flagship forward step: everything from normalized samples
@@ -153,7 +154,7 @@ def channel_step(agc_state: AgcState,
     new_tail = mf_ext[:, -HALO:]
     new_lvl_tail = lvl_ext[:, -HALO:]
     tracker_state, outs, ev_table, counters = tracker_block(
-        tracker_state, mf_ext, lvl_ext, num_steps)
+        tracker_state, mf_ext, lvl_ext, num_steps, debug_taps)
     framebuf = _scatter_frames(framebuf, outs)
     return (agc_state, tracker_state, framebuf, new_tail, new_lvl_tail,
             outs, ev_table, counters)
@@ -237,13 +238,18 @@ class ChannelBank:
         (self.agc_state, self.tracker_state, self.framebuf,
          self._tail, self._lvl_tail, outs, ev_table, counters) = channel_step(
             self.agc_state, self.tracker_state, self.framebuf,
-            self._tail, self._lvl_tail, x, num_steps)
+            self._tail, self._lvl_tail, x, num_steps,
+            self.dumps is not None)
         self.last_counters = counters    # (C, 4): A2, M1, M1-miss, event-overflow deltas
         if self.dumps is not None:
             sym = device_get(outs.sym).T          # (C, T_out)
             self.dumps.write('sym_out', sym)
             isd = device_get(outs.is_data).T
             self.dumps.write('const', np.where(isd, sym, np.nan + 0j))
+            taps = device_get(outs.taps)          # (T_out, C, 3)
+            self.dumps.write('costas_dphi', taps[:, :, 0].T)
+            self.dumps.write('costas_err', taps[:, :, 1].T)
+            self.dumps.write('symsync_tau', taps[:, :, 2].T)
         return self._collect_events(ev_table)
 
     def _collect_events(self, ev_table) -> list[FrameEvent]:

@@ -11,6 +11,9 @@ points (hfdl.c:616-655):
   mf_out     cf32  matched-filter output
   sym_out    cf32  tracker symbol-strobe output (equalized)
   const      cf32  data-symbol constellation points
+  costas_dphi rf32 Costas loop frequency estimate per symbol (rad/half-sym)
+  costas_err rf32  Costas phase-detector error per symbol
+  symsync_tau rf32 symbol-sync fractional timing offset per symbol
 
 One file per (stage, channel): <prefix><stage>.ch<N>.<ext>
 """
@@ -20,7 +23,8 @@ from __future__ import annotations
 import numpy as np
 
 
-STAGES = ('chan_out', 'agc_out', 'agc_level', 'mf_out', 'sym_out', 'const')
+STAGES = ('chan_out', 'agc_out', 'agc_level', 'mf_out', 'sym_out', 'const',
+          'costas_dphi', 'costas_err', 'symsync_tau')
 
 
 class DumpSet:

@@ -46,6 +46,7 @@ ITAPS = 8          # interpolation taps
 HALO_FRONT = 24    # window margin before the first processed sample
 HALO_BACK = 12     # margin after the last processed sample
 HALO = HALO_FRONT + HALO_BACK   # carried tail between blocks (36)
+SLAB_BASE_OFF = HALO_FRONT - 5  # slab start for symbol t is 3*t + this
 
 _TS_CORRECTION_SYMBOLS = C.PREKEY_LEN + 2 * C.A_LEN  # timestamp backdate (hfdl.c:658)
 
@@ -125,6 +126,10 @@ class TrackerOutputs(NamedTuple):
     is_data: jax.Array      # bool
     data_idx: jax.Array     # i32 slot within frame
     frame_parity: jax.Array  # i32 frame_counter & 1
+    # optional per-symbol loop internals for --datadumps (costas dphi,
+    # costas phase error, symsync fractional timing); None unless the
+    # block ran with debug_taps=True (dumpfile.c COSTAS/SYMSYNC taps)
+    taps: object = None     # (T, C, 3) f32 | None
 
 
 # event-table geometry shared with dsp/channel.py
@@ -196,11 +201,13 @@ def _demod_bits_and_err(y, arity):
     return bit, err
 
 
-@functools.partial(jax.jit, static_argnames=('num_steps',))
+@functools.partial(jax.jit, static_argnames=('num_steps', 'debug_taps'))
 def tracker_block(state: TrackerState,
                   x: jax.Array,
                   level: jax.Array,
-                  num_steps: int) -> tuple[TrackerState, TrackerOutputs]:
+                  num_steps: int,
+                  debug_taps: bool = False
+                  ) -> tuple[TrackerState, TrackerOutputs]:
     """Run the tracker over one block.
 
     Args:
@@ -289,7 +296,7 @@ def tracker_block(state: TrackerState,
         st, carry_aux = carry
         # shared slab for this symbol: covers both half-step windows for
         # every channel (alignment keeps per-channel offsets within +-2)
-        base = 3 * t + (HALO_FRONT - 5)
+        base = 3 * t + SLAB_BASE_OFF
         slab = jax.lax.dynamic_slice(x_al, (0, base), (x_al.shape[0], SLAB))
         # ===== even half-step: interpolate, ML TED, costas step, EQ push ===
         # The TED strobes EVEN output steps: the initial equalizer's 7-step
@@ -554,6 +561,8 @@ def tracker_block(state: TrackerState,
         outputs = TrackerOutputs(
             sym=y_eq, is_data=in_data, data_idx=out_data_idx,
             frame_parity=st.frame_counter & 1,
+            taps=(jnp.stack([dphi, err, st.tau - jnp.floor(st.tau)], axis=-1)
+                  if debug_taps else None),
         )
         return (new_state, carry_aux_new), outputs
 

@@ -48,8 +48,10 @@ def restricted_backend() -> bool:
 def _join_on_device(flat, shape: tuple, kind: str):
     n = int(np.prod(shape, dtype=np.int64))
     if kind == 'complex':
-        pairs = flat.reshape(-1)[:2 * n].reshape(-1, 2)
-        return jax.lax.complex(pairs[:, 0], pairs[:, 1]).reshape(shape)
+        # planar (all-re || all-im) layout: a (n, 2) reshape would pad to
+        # the (8, 128) TPU tile -- 64x memory blowup on large uploads
+        v = flat.reshape(-1)
+        return jax.lax.complex(v[:n], v[n:2 * n]).reshape(shape)
     return flat.reshape(-1)[:n].reshape(shape)
 
 
@@ -68,12 +70,11 @@ def device_put_safe(x) -> jax.Array:
     if not restricted_backend():
         return jnp.asarray(x)
     if np.issubdtype(x.dtype, np.complexfloating):
-        ri = np.empty((x.size, 2), np.float32)
+        ri = np.empty(2 * x.size, np.float32)
         flat = x.reshape(-1)
-        ri[:, 0] = flat.real
-        ri[:, 1] = flat.imag
-        return _join_on_device(jnp.asarray(_pad_rows(ri.reshape(-1))),
-                               x.shape, 'complex')
+        ri[:x.size] = flat.real
+        ri[x.size:] = flat.imag
+        return _join_on_device(jnp.asarray(_pad_rows(ri)), x.shape, 'complex')
     if x.dtype == bool or (np.issubdtype(x.dtype, np.integer)
                            and x.dtype.itemsize < 4):
         widened = _pad_rows(x.reshape(-1).astype(np.int32))
@@ -197,7 +198,9 @@ def czeros(shape: tuple) -> jax.Array:
 def _canonicalize(x, kind: str):
     """Reshape to a well-supported transfer shape: (rows>=8, 128) padded."""
     if kind == 'complex':
-        x = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
+        # planar layout (see _join_on_device on TPU tile padding)
+        x = jnp.concatenate([jnp.real(x).reshape(-1),
+                             jnp.imag(x).reshape(-1)]).astype(jnp.float32)
     elif kind == 'int':
         x = x.astype(jnp.int32)
     elif kind == 'float':
@@ -214,8 +217,8 @@ def _via_canonical(x) -> np.ndarray:
     n = int(np.prod(shape)) if shape else 1
     if jnp.issubdtype(dt, jnp.complexfloating):
         flat = np.asarray(_canonicalize(x, 'complex')).reshape(-1)[:2 * n]
-        ri = flat.reshape(*shape, 2) if shape else flat.reshape(2)
-        return (ri[..., 0] + 1j * ri[..., 1]).astype(np.complex64)
+        out = (flat[:n] + 1j * flat[n:]).astype(np.complex64)
+        return out.reshape(shape) if shape else out.reshape(())
     if dt == jnp.bool_ or jnp.issubdtype(dt, jnp.integer):
         flat = np.asarray(_canonicalize(x, 'int')).reshape(-1)[:n]
         out = flat.reshape(shape) if shape else flat.reshape(())

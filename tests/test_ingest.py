@@ -160,3 +160,28 @@ def test_run_file_decodes_via_ingest(tmp_path):
     rc = app.run_file(str(path), 'CS16')
     assert rc == 0
     assert app.frames_decoded == 1
+
+
+def test_restricted_transfer_planar_roundtrip():
+    """The axon-only split/join helpers use a planar (re||im) layout (a
+    trailing-dim-2 reshape pads 64x on TPU tiles); exercise them directly
+    since CPU runs bypass the restricted path."""
+    import jax.numpy as jnp
+    from dumphfdl_tpu.utils import xfer
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((5, 7)) + 1j * rng.standard_normal((5, 7))) \
+        .astype(np.complex64)
+    ri = np.empty(2 * x.size, np.float32)
+    ri[:x.size] = x.reshape(-1).real
+    ri[x.size:] = x.reshape(-1).imag
+    dev = xfer._join_on_device(jnp.asarray(xfer._pad_rows(ri)), x.shape,
+                               'complex')
+    np.testing.assert_array_equal(np.asarray(dev), x)
+    back = xfer._via_canonical(jnp.asarray(x))
+    np.testing.assert_array_equal(back, x)
+    # scalar and 1-D shapes through the same planar path
+    for shape in ((), (13,)):
+        y = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)) \
+            .astype(np.complex64)
+        np.testing.assert_array_equal(xfer._via_canonical(jnp.asarray(y)), y)
