@@ -27,7 +27,7 @@ import numpy as np
 from .. import constants as C
 from . import backend
 from .tracker import (EV_FIELDS, HALO, K_EVENTS, TrackerOutputs,
-                      TrackerState, tracker_block, tracker_init)
+                      TrackerState, tracker_block_auto, tracker_init)
 from ..utils.xfer import czeros, device_get, device_put_safe
 
 
@@ -153,7 +153,7 @@ def channel_step(agc_state: AgcState,
     lvl_ext = jnp.concatenate([lvl_tail, level], axis=1)
     new_tail = mf_ext[:, -HALO:]
     new_lvl_tail = lvl_ext[:, -HALO:]
-    tracker_state, outs, ev_table, counters = tracker_block(
+    tracker_state, outs, ev_table, counters = tracker_block_auto(
         tracker_state, mf_ext, lvl_ext, num_steps, debug_taps)
     framebuf = _scatter_frames(framebuf, outs)
     return (agc_state, tracker_state, framebuf, new_tail, new_lvl_tail,

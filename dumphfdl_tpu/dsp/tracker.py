@@ -586,3 +586,20 @@ def tracker_block(state: TrackerState,
         tau=final.tau + shift.astype(jnp.float32) - (T - HALO))
     ev_out = ev_table[:, :K_EVENTS].reshape(c, K_EVENTS * EV_FIELDS)
     return final, outs, ev_out, counters
+
+
+def tracker_block_auto(state: TrackerState, x: jax.Array, level: jax.Array,
+                       num_steps: int, debug_taps: bool = False):
+    """Implementation dispatch: the Pallas mega-kernel on TPU (the whole
+    symbol loop in one VMEM-resident program, tracker_pallas.py), the
+    lax.scan version elsewhere and for --datadumps loop taps.
+
+    DUMPHFDL_TRACKER=scan|pallas overrides (pallas off-TPU runs in
+    interpret mode -- correct but slow; used by the parity tests)."""
+    impl = os.environ.get('DUMPHFDL_TRACKER', 'auto')
+    if not debug_taps and (
+            impl == 'pallas'
+            or (impl == 'auto' and jax.devices()[0].platform == 'tpu')):
+        from .tracker_pallas import tracker_block_pallas
+        return tracker_block_pallas(state, x, level, num_steps)
+    return tracker_block(state, x, level, num_steps, debug_taps)
