@@ -56,7 +56,21 @@ def decode_frame_batch(data_symbols: jax.Array,
         pairs = soft.reshape(soft.shape[0], -1, 2).astype(jnp.int32)
         a, b = pairs[..., 0], pairs[..., 1]
         soft = ((a & b) + ((a ^ b) >> 1)).astype(jnp.uint8)  # floor avg (hfdl.c:1032)
-    return fec.viterbi_decode(soft, p.framebits)
+    return _viterbi(soft, p.framebits)
+
+
+def _viterbi(soft: jax.Array, framebits: int) -> jax.Array:
+    """Viterbi dispatch: the Pallas ACS kernel on TPU (1.3-1.9x the scan
+    version at realistic frame sizes, measured on a v5e; see
+    ops/fec_pallas.py), the lax.scan decoder elsewhere.
+    DUMPHFDL_VITERBI=scan|pallas overrides."""
+    import os
+    impl = os.environ.get('DUMPHFDL_VITERBI', 'auto')
+    if impl == 'pallas' or (impl == 'auto'
+                            and jax.devices()[0].platform == 'tpu'):
+        from ..ops.fec_pallas import viterbi_decode_pallas
+        return viterbi_decode_pallas(soft, framebits)
+    return fec.viterbi_decode(soft, framebits)
 
 
 def pdu_bytes_from_bits(bits: np.ndarray) -> list[bytes]:

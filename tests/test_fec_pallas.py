@@ -22,3 +22,18 @@ def test_pallas_matches_scan(nbits, batch):
     out = np.asarray(viterbi_decode_pallas(np.stack(softs), nbits,
                                            interpret=True))
     assert np.array_equal(out, np.stack(golden))
+
+
+def test_backend_dispatch_uses_pallas(monkeypatch):
+    """DUMPHFDL_VITERBI=pallas routes decode_frame_batch through the
+    kernel (interpret mode on CPU) and still round-trips a frame."""
+    monkeypatch.setenv('DUMPHFDL_VITERBI', 'pallas')
+    from dumphfdl_tpu.dsp import backend, modulator
+    from dumphfdl_tpu import constants as C
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, C.MODES[1].pdu_len_octets, dtype=np.uint8)
+    raw[-1] = 0                        # encoder flush bits must be zero
+    pdu = bytes(raw)
+    syms = modulator.encode_pdu_to_data_symbols(pdu, 1)
+    out = backend.decode_frames(syms[None], np.asarray([False]), 1)
+    assert out[0][:len(pdu)] == pdu
