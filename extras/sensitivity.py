@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Decode-sensitivity sweep: CRC-pass rate vs Es/N0 per HFDL mode.
+
+The reference names decode sensitivity as a quality metric
+(/root/reference/README.md:65-69: "decoding success rate at low SNR");
+this tool pins ours so DSP changes can't silently regress it.  For each
+(mode, SNR) point it synthesizes frames with random payloads, CFO and
+fractional-timing impairments, runs them through the production
+demodulator (AGC -> MF -> tracker -> Viterbi), and reports the fraction
+whose PDU decodes bit-exactly, along with the demodulator's own
+SNR estimate (RSSI/noise-floor, the AGC low-SNR equilibrium check).
+
+Usage:
+  python extras/sensitivity.py [--modes 0,3,7] [--snrs 0:21:3]
+                               [--trials 10] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def decode_trial(mode: int, snr_db: float, seed: int):
+    """Synthesize one impaired frame and decode it.
+
+    Returns (ok, reported_snr_db or None)."""
+    from dumphfdl_tpu import constants as C
+    from dumphfdl_tpu.dsp import modulator
+    from dumphfdl_tpu.dsp.channel import ChannelBank
+
+    rng = np.random.default_rng(seed)
+    pdu = modulator.make_test_mpdu(mode, rng, icao=0x400000 + seed % 0xFFFF)
+    syms = modulator.frame_symbols(pdu, mode)
+    iq = modulator.synthesize_iq(syms, imp=modulator.Impairments(
+        snr_db=snr_db,
+        cfo_hz=float(rng.uniform(-25, 25)),
+        timing_offset=float(rng.uniform(0, 1)),
+        seed=seed + 1))
+    # prepend noise-only hunting time at the same N0 so the noise-floor
+    # EMA (hfdl.c:699-706 cadence) converges before the frame arrives --
+    # that is what makes the reported RSSI/noise-floor SNR meaningful
+    sigma = float(np.std(iq[:180])) / np.sqrt(2)
+    hunt = (rng.standard_normal(4500) + 1j * rng.standard_normal(4500)) \
+        .astype(np.complex64) * sigma
+    iq = np.concatenate([hunt, iq])
+    n = (len(iq) // 3) * 3
+    bank = ChannelBank(1, auto_shard=False)
+    events = bank.process(iq[None, :n].astype(np.complex64))
+    pad = np.zeros((1, 3 * C.T_LEN * 6), np.complex64)
+    events += bank.process(pad)
+    for ev in events:
+        if ev.pdu == pdu:
+            # levels are amplitudes: LEVEL_TO_DB is 20log10 (hfdl.c:591)
+            snr_est = 20 * np.log10(max(ev.rssi, 1e-12)
+                                    / max(ev.noise_floor, 1e-12))
+            return True, float(snr_est)
+    return False, None
+
+
+def sweep(modes, snrs, trials, progress=None):
+    """Returns [{mode, snr_db, pass_rate, mean_reported_snr_db}, ...]."""
+    rows = []
+    for mode in modes:
+        for snr in snrs:
+            oks, ests = 0, []
+            for t in range(trials):
+                ok, est = decode_trial(mode, snr, seed=1000 * mode + t)
+                oks += ok
+                if est is not None:
+                    ests.append(est)
+                if progress:
+                    progress(mode, snr, t, ok)
+            rows.append({
+                'mode': mode,
+                'snr_db': float(snr),
+                'pass_rate': oks / trials,
+                'mean_reported_snr_db':
+                    float(np.mean(ests)) if ests else None,
+            })
+    return rows
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--modes', default='0,3,7',
+                    help='comma-separated mode indices (0-7)')
+    ap.add_argument('--snrs', default='0:21:3',
+                    help='start:stop:step dB sweep (stop exclusive)')
+    ap.add_argument('--trials', type=int, default=10)
+    ap.add_argument('--json', action='store_true')
+    args = ap.parse_args(argv)
+    modes = [int(m) for m in args.modes.split(',')]
+    a, b, c = (float(v) for v in args.snrs.split(':'))
+    snrs = list(np.arange(a, b, c))
+
+    def prog(mode, snr, t, ok):
+        print(f'\rmode {mode} snr {snr:5.1f} dB trial {t + 1}'
+              f' {"ok " if ok else "bad"}', end='', file=sys.stderr)
+
+    rows = sweep(modes, snrs, args.trials, progress=prog)
+    print(file=sys.stderr)
+    if args.json:
+        print(json.dumps(rows, indent=1))
+    else:
+        print(f'{"mode":>4} {"SNR dB":>7} {"pass":>6} {"est SNR":>8}')
+        for r in rows:
+            est = (f"{r['mean_reported_snr_db']:8.1f}"
+                   if r['mean_reported_snr_db'] is not None else '       -')
+            print(f"{r['mode']:>4} {r['snr_db']:>7.1f} "
+                  f"{r['pass_rate']:>6.0%} {est}")
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
