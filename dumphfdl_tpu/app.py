@@ -142,14 +142,21 @@ class HfdlApp:
         The read -> convert -> upload chain runs on a background thread
         (io/ingest.py) so host ingest overlaps device compute, and the
         integer formats upload in native width with on-device conversion."""
-        from .io import ingest
+        from .io import formats, ingest
         fmt = (sample_format or self.cfg.sample_format).upper()
         fh = sys.stdin.buffer if path == '-' else open(path, 'rb')
         self._start_nf_stats()
         try:
             raw_iter = ingest.file_chunks(fh, fmt, self.cfg.read_buffer_size,
                                           stop=self._stop)
-            for xd in ingest.uploaded_stream(raw_iter, fmt):
+            if self.cfg.mesh:
+                # the sharded receiver splits each super-block across the
+                # 'time' mesh axis itself; feed host chunks directly so
+                # samples cross to the devices exactly once (sharded)
+                stream = (formats.convert(raw, fmt) for raw in raw_iter)
+            else:
+                stream = ingest.uploaded_stream(raw_iter, fmt)
+            for xd in stream:
                 if self._stop.is_set():
                     break
                 self.handle_events(self.receiver.process(xd))
@@ -175,9 +182,13 @@ class HfdlApp:
             max(self.cfg.sample_rate // 8, 1)))))
         src = ingest.StreamIngest(sample_iter, block, stop=self._stop)
         last_over = 0
+        if self.cfg.mesh:
+            stream = src.blocks()       # sharded receiver splits on upload
+        else:
+            stream = ingest.uploaded_stream(src.blocks(), 'CF32',
+                                            packed=packed)
         try:
-            for xd in ingest.uploaded_stream(src.blocks(), 'CF32',
-                                             packed=packed):
+            for xd in stream:
                 if self._stop.is_set():
                     break
                 self.handle_events(self.receiver.process(xd))

@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     out.add_argument('--station-id', help='station id added to output metadata')
     out.add_argument('--prettify-json', action='store_true',
                      help='pretty-print JSON output')
+    out.add_argument('--prettify-xml', action='store_true',
+                     help='pretty-print XML payloads in ACARS and MIAM '
+                          'CORE PDUs (main.c:305)')
 
     enr = p.add_argument_group('enrichment options')
     enr.add_argument('--system-table', metavar='FILE',
@@ -142,6 +145,7 @@ def build_app(args) -> HfdlApp:
         ac_data_details=args.ac_details,
         station_id=args.station_id,
         prettify_json=args.prettify_json,
+        prettify_xml=args.prettify_xml,
     )
     systable = SysTable(args.system_table, save_path=args.system_table_save)
     ac_cache = AcCache(ttl=args.aircraft_cache_ttl)

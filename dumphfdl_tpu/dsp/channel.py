@@ -112,7 +112,7 @@ def _scatter_frames(framebuf: jax.Array, outs: TrackerOutputs) -> jax.Array:
         .set(outs.sym.ravel(), mode='drop')
 
 
-_GATHER_BATCH = 4
+_GATHER_BATCH = 32
 
 
 @jax.jit

@@ -5,10 +5,20 @@ TPU-first re-architecture of the reference's fastddc overlap-&-scrap DDC
 
 * The forward overlap-save FFT is *batched over blocks* (strided framing +
   one batched FFT) instead of one serial FFT thread.
-* Per-channel work -- spectrum x filter-FFT multiply, coarse bin shift,
-  frequency-domain decimation fold, inverse FFT, scrap -- is a single
-  (blocks, channels, fft_size) array program; the channel axis is the
-  shardable batch dimension.
+* Per-channel work is a **bin-window gather**: the complex bandpass
+  filter's FFT is significant only within a few images of the channel's
+  passband (measured < -80 dB outside +-2 images), so instead of
+  materializing the full (blocks, channels, fft_size) product and rolling
+  it per channel (the reference's multiply_and_shift walks all fft_size
+  bins per channel, fastddc.c:123-150), each channel gathers its W =
+  window_images * fft_inv_size relevant bins, multiplies by the
+  pre-shifted kernel window, folds the images, and runs one *batched*
+  inverse FFT of fft_inv_size.  At 128 channels x 262144-point FFT this
+  is ~64x less HBM traffic than the full product.
+* All streaming buffers are device-resident **modular rings** addressed
+  by host-tracked integer cursors: appends are modular scatters and
+  reads are modular gathers, so nothing is ever memmoved/rolled (the
+  reference's overlap memmove, fft.c:49-54, becomes index arithmetic).
 * The reference's separate residual-shift rotator + time decimator +
   arbitrary resampler (libcsdr_gpl.c:41-74, msresamp at hfdl.c:471-473)
   collapse into one mixer + polyphase arbitrary resampler straight from
@@ -150,19 +160,50 @@ def _resampler_bank(ratio_x1000: int, ntaps: int, nphases: int = 64) -> np.ndarr
     return bank
 
 
+def select_window_images(kernels_fft: np.ndarray, coarse: np.ndarray,
+                         geo: DdcGeometry, threshold: float = 1e-4) -> int:
+    """Smallest even image count w such that every channel's kernel FFT is
+    below `threshold` x peak outside the centered w-image bin window.
+
+    The fold over decimation images (fastddc.c DIF decimation) is exact
+    when w == decimation; the Hamming-windowed bandpass concentrates its
+    response so tightly that w=4 is < -80 dB exact in practice (measured),
+    which is below CS16 input quantization."""
+    n, d, L = geo.fft_size, geo.decimation, geo.fft_inv_size
+    mags = np.abs(kernels_fft)
+    peak = mags.max() or 1.0
+    for w in range(2, d, 2):
+        ok = True
+        for c in range(kernels_fft.shape[0]):
+            idx = (int(coarse[c]) - (w // 2) * L + np.arange(w * L)) % n
+            outside = np.delete(mags[c], idx)
+            if outside.size and outside.max() > threshold * peak:
+                ok = False
+                break
+        if ok:
+            return w
+    return d
+
+
 class Channelizer:
     """Streaming wideband -> per-channel 5400 sps converter.
 
     Host-side orchestration with jitted device kernels; all shapes static
-    per chunk size.  Sequential state: forward-FFT overlap tail, per-channel
-    mixer phase, resampler read position.
+    per chunk size.  Sequential state: device-resident wideband ring (with
+    the overlap-save tail carried in place), per-channel mixer phase,
+    device-resident fs1 ring + resampler position.  The host tracks ring
+    cursors as plain integers (never read back); every jitted step does a
+    fixed amount of work so the compiled-shape set stays bounded
+    (power-of-two frame batches).
     """
 
     def __init__(self, sample_rate: int, centerfreq: int,
                  frequencies: list[int],
                  decimation: int | None = None,
                  transition_bw: float | None = None,
-                 out_chunk: int = 1024):
+                 out_chunk: int = 5400,
+                 rows: int | None = None,
+                 window_images: int | None = None):
         self.fs = int(sample_rate)
         self.centerfreq = int(centerfreq)
         if decimation is None:
@@ -174,150 +215,179 @@ class Channelizer:
         self.plans = [plan_channel(self.geo, self.fs, centerfreq, f)
                       for f in frequencies]
         self.num_channels = len(frequencies)
+        # rows >= num_channels: extra zero-kernel rows so downstream
+        # consumers with padded channel batches never re-pad on device
+        self.rows = self.num_channels if rows is None else int(rows)
+        assert self.rows >= self.num_channels
         self.out_chunk = out_chunk
 
         geo = self.geo
         # filter kernels: FFT of complex bandpass taps, zero-padded (DC order)
         hbw = 0.5 / decimation
-        kernels = np.zeros((self.num_channels, geo.fft_size), dtype=np.complex64)
+        kernels = np.zeros((self.rows, geo.fft_size), dtype=np.complex64)
         for i, p in enumerate(self.plans):
             taps = firdes_bandpass_c(geo.taps_length, -p.shift_rate - hbw,
                                      -p.shift_rate + hbw)
             kernels[i, :geo.taps_length] = taps
         self._kernels_fft_np = np.fft.fft(kernels, axis=1).astype(np.complex64)
-        self._kernels_fft = device_put_safe(self._kernels_fft_np)
-        self._coarse = np.asarray([p.coarse_bins for p in self.plans], np.int32)
-        self._residual = np.asarray([p.residual_cycles for p in self.plans], np.float64)
+        self._coarse = np.zeros(self.rows, np.int32)
+        self._coarse[:self.num_channels] = [p.coarse_bins for p in self.plans]
+        self._residual64 = np.zeros(self.rows, np.float64)
+        self._residual64[:self.num_channels] = \
+            [p.residual_cycles for p in self.plans]
 
-        # streaming state.  The fs1 ring is DEVICE-RESIDENT: only integer
-        # bookkeeping lives on the host, so the steady-state loop transfers
-        # the wideband stream in and small index vectors -- never the
-        # (C, T) bulk (the device<->host bounce would dominate on
-        # bandwidth-limited interconnects; cf. the reference keeping all
-        # DSP in one process for the same reason).
-        # wideband staging ring (DEVICE-RESIDENT): raw/packed uploads land
-        # here and the overlap-save framing happens on device, so the
-        # overlap tail never bounces to the host and no redundant
-        # fft_size/input_size window duplication crosses the interconnect.
-        # Pre-seeded with overlap_length zeros (the initial overlap-save
-        # tail, fft.c:49-54 equivalent).
-        from ..utils.xfer import czeros as _czeros
-        self._rw = 1 << int(np.ceil(np.log2(
-            geo.overlap_length + 4 * geo.input_size + 1)))
-        self._wb_ring = _czeros((self._rw,))
-        self._wb_fill = geo.overlap_length
-        # per-channel spectrum work in _channelize_blocks materializes
-        # (B, C, fft_size) complex64 intermediates; cap the frame batch so
-        # peak working set stays within a fixed HBM budget at wide
-        # geometries (2 Msps input -> fft_size 256k, like the reference's
-        # FFTW plan at the same rate)
+        # bin-window gather tables: channel c reads W = w_img * L bins
+        # centered on its passband; the coarse shift is baked into the
+        # indices so no per-channel roll happens at runtime
+        L = geo.fft_inv_size
+        if window_images is None:
+            window_images = select_window_images(
+                self._kernels_fft_np[:self.num_channels],
+                self._coarse, geo)
+        self.window_images = w = max(2, min(int(window_images), decimation))
+        m = np.arange(w * L)
+        idx = (self._coarse[:, None] - (w // 2) * L + m[None, :]) % geo.fft_size
+        self._idx_np = idx.astype(np.int32)                    # (rows, W)
+        self._hwin_np = np.take_along_axis(
+            self._kernels_fft_np, idx, axis=1).astype(np.complex64)
+        self._idx = device_put_safe(self._idx_np)
+        self._hwin = device_put_safe(self._hwin_np)
+        self._residual_dev = device_put_safe(
+            self._residual64.astype(np.float32))
+
+        # frame-batch cap: peak per-frame working set is the (B, rows, W)
+        # gather+product (x2 for gather result + product before fusion)
+        # plus the (B, N) frames/spectrum pair
         budget = 256 << 20
-        self._max_frames = max(1, budget // (8 * max(self.num_channels, 1)
-                                             * geo.fft_size))
-        self._mixer_phase = jnp.zeros(self.num_channels, dtype=jnp.float32)
+        per_frame = 2 * 8 * self.rows * w * L + 2 * 8 * geo.fft_size
+        self._max_frames = max(1, 1 << int(np.log2(
+            max(1, budget // per_frame))))
+
+        from ..utils.xfer import czeros as _czeros
+        # wideband ring: fits the largest batch window + a big upload
+        self._rw = 1 << int(np.ceil(np.log2(
+            geo.overlap_length + (self._max_frames + 8) * geo.input_size + 1)))
+        self._wb_ring = _czeros((self._rw,))
+        self._wb_start = 0             # ring index of the current frame base
+        self._wb_fill = geo.overlap_length   # pre-seeded overlap-save tail
+        self._mixer_phase = jnp.zeros(self.rows, dtype=jnp.float32)
+
+        # fs1 ring + polyphase resampler state
         self._out_count = 0            # total 5400-sps samples emitted
         self.ratio = self.fs1 / C.INTERNAL_RATE   # fs1 samples per output
         self._rs_taps = int(8 * max(1, int(np.ceil(self.ratio))))
         self._bank = jnp.asarray(_resampler_bank(
             int(round(self.ratio * 1000)), self._rs_taps))
-        # fs1 ring capacity: one resample span + headroom for a large append
         need = int(out_chunk * self.ratio) + self._rs_taps \
-            + 16 * geo.post_input_size + 64
+            + (self._max_frames + 2) * geo.post_input_size + 64
         self._r1 = 1 << int(np.ceil(np.log2(need)))
-        from ..utils.xfer import czeros
-        self._fs1_ring = czeros((self.num_channels, self._r1))
+        self._fs1_ring = _czeros((self.rows, self._r1))
+        self._fs1_start = 0            # ring index of global sample _ring_global_start
         self._fs1_fill = 0             # valid samples in the ring
-        self._ring_global_start = 0    # global fs1-sample index of ring[0]
+        self._ring_global_start = 0    # global fs1-sample index at _fs1_start
 
     # ---- device kernels ----
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _channelize_blocks(self, frames: jax.Array, phase0: jax.Array,
-                           kernels_fft: jax.Array
-                           ) -> tuple[jax.Array, jax.Array]:
-        """(B, fft_size) time frames -> (C, B*post_input_size) fs1 samples.
+    def _wb_append(self, ring: jax.Array, x: jax.Array,
+                   wpos: jax.Array) -> jax.Array:
+        """Modular scatter of x at ring position wpos[0,0]."""
+        cols = (wpos[0, 0] + jnp.arange(x.shape[0])) % ring.shape[0]
+        return ring.at[cols].set(x.astype(ring.dtype))
 
-        Includes the per-channel residual mixer (phase-continuous across
-        blocks via phase0 carry).  kernels_fft rides as an argument, NOT a
-        closure: jit lowers closed-over device arrays as constants via a
-        host round-trip, which restricted backends cannot transfer."""
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _channelize(self, ring: jax.Array, start: jax.Array, n_frames: int,
+                    phase0: jax.Array, idxtab: jax.Array, hwin: jax.Array,
+                    residual: jax.Array
+                    ) -> tuple[jax.Array, jax.Array]:
+        """n_frames overlap-save windows from the wideband ring ->
+        (rows, n_frames*post_input_size) fs1 samples + new mixer phase.
+
+        One fused XLA program: modular framing gather, batched forward
+        FFT, per-channel bin-window gather x kernel window, image fold,
+        batched inverse FFT (fft_inv_size), scrap, residual mixer.  Large
+        tables (idxtab/hwin) ride as arguments, NOT closures: jit lowers
+        closed-over device arrays as constants via a host round-trip,
+        which restricted backends cannot transfer."""
         geo = self.geo
+        w, L, D = self.window_images, geo.fft_inv_size, geo.decimation
+        fr = (start[0, 0]
+              + jnp.arange(n_frames, dtype=jnp.int32)[:, None] * geo.input_size
+              + jnp.arange(geo.fft_size, dtype=jnp.int32)[None, :]) \
+            % ring.shape[0]
+        frames = ring[fr]                                      # (B, N)
         spec = jnp.fft.fft(frames, axis=1)                     # (B, N)
-        # per-channel coarse shift: gather bins (k + b) mod N, fold by decim
-        L = geo.fft_inv_size
-        prod = spec[:, None, :] * kernels_fft[None, :, :]             # (B, C, N)
-        # coarse downconversion by b bins: Y'[k] = Y[(k+b) mod N] = roll(Y, -b)
-        shifted = jax.vmap(lambda p, b: jnp.roll(p, -b, axis=-1),
-                           in_axes=(1, 0), out_axes=1)(
-                               prod, jnp.asarray(self._coarse))
-        folded = shifted.reshape(prod.shape[0], self.num_channels,
-                                 geo.decimation, L).sum(axis=2)
-        # decimation-in-frequency fold needs 1/D (fastddc.c:194 norm)
-        time = jnp.fft.ifft(folded, axis=2) / geo.decimation   # (B, C, L)
+        g = spec[:, idxtab]                                    # (B, rows, W)
+        prod = g * hwin[None, :, :]
+        folded = prod.reshape(n_frames, self.rows, w, L).sum(axis=2)
+        # decimation-in-frequency fold; 1/D matches fastddc.c:194 norm
+        time = jnp.fft.ifft(folded, axis=2) / D                # (B, rows, L)
         time = time[:, :, geo.scrap:]                          # scrap overlap
-        out = time.transpose(1, 0, 2).reshape(self.num_channels, -1)
-        # residual mixer (decimating_shift_addition equivalent, device-side)
+        out = time.transpose(1, 0, 2).reshape(self.rows, -1)
+        # residual mixer (decimating_shift_addition equivalent).  The
+        # coarse shift leaves |residual| <= v*D/(2N) cycles/sample, so the
+        # f32 ramp stays small even over a 64-frame batch.
         n = out.shape[1]
-        residual = jnp.asarray(self._residual, jnp.float32)    # (C,)
         ph = phase0[:, None] + residual[:, None] * jnp.arange(n)[None, :]
         out = out * jnp.exp(-2j * jnp.pi * ph)
         new_phase = jnp.mod(phase0 + residual * n, 1.0)
         return out.astype(jnp.complex64), new_phase
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _fs1_append(self, ring: jax.Array, chunk: jax.Array,
+                    wpos: jax.Array) -> jax.Array:
+        cols = (wpos[0, 0] + jnp.arange(chunk.shape[1])) % ring.shape[1]
+        return ring.at[:, cols].set(chunk.astype(ring.dtype))
+
     @functools.partial(jax.jit, static_argnums=(0, 5))
     def _resample(self, ring: jax.Array, bank: jax.Array,
                   offsets: jax.Array, phases: jax.Array,
                   n_out: int) -> jax.Array:
-        """Gather-interpolate n_out samples at positions offsets (shared).
+        """Gather-interpolate n_out samples at modular ring positions.
 
         offsets/phases arrive as (n_out, 1) int32 (2-D so host->device
-        transfers work on restricted backends); bank is an argument for
-        the same closure-constant reason as _channelize_blocks."""
+        transfers work on restricted backends); offsets are absolute ring
+        indices of each output's first tap (host handles the wrap)."""
         k = self._rs_taps
-        win_idx = offsets + jnp.arange(k)[None, :]             # (n_out, K)
+        win_idx = (offsets + jnp.arange(k)[None, :]) % ring.shape[1]
         wins = ring[:, win_idx]                                # (C, n_out, K)
         taps = bank[phases[:, 0]]                              # (n_out, K)
         return jnp.einsum('cok,ok->co', wins, taps)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _ring_append(self, ring: jax.Array, new: jax.Array,
-                     fill: jax.Array) -> jax.Array:
-        """Write `new` at column fill[0,0] (host guarantees it fits)."""
-        return jax.lax.dynamic_update_slice(ring, new, (0, fill[0, 0]))
+    # test/offline helper: channelize explicit (B, fft_size) frames
+    def channelize_frames(self, frames, phase0=None):
+        if phase0 is None:
+            phase0 = jnp.zeros(self.rows, jnp.float32)
+        return self._channelize_frames_jit(
+            device_put_safe(np.asarray(frames, np.complex64)), phase0,
+            self._idx, self._hwin, self._residual_dev)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _ring_drop(self, ring: jax.Array, drop: jax.Array) -> jax.Array:
-        """Discard the first drop[0,0] columns (left-rotate; the tail
-        beyond fill is don't-care)."""
-        return jnp.roll(ring, -drop[0, 0], axis=1)
-
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _wb_append(self, ring: jax.Array, x: jax.Array,
-                   fill: jax.Array) -> jax.Array:
-        return jax.lax.dynamic_update_slice(
-            ring, x.astype(ring.dtype), (fill[0, 0],))
-
-    @functools.partial(jax.jit, static_argnums=(0, 2))
-    def _wb_frames(self, ring: jax.Array, n_now: int
-                   ) -> tuple[jax.Array, jax.Array]:
-        """Overlap-save framing on device: (n_now, fft_size) windows strided
-        by input_size from the ring front, then consume n_now*input_size
-        (the trailing overlap_length stays -- the carried tail)."""
+    def _channelize_frames_jit(self, frames, phase0, idxtab, hwin, residual):
         geo = self.geo
-        idx = (jnp.arange(n_now, dtype=jnp.int32)[:, None] * geo.input_size
-               + jnp.arange(geo.fft_size, dtype=jnp.int32)[None, :])
-        return ring[idx], jnp.roll(ring, -(n_now * geo.input_size))
-
-    @functools.partial(jax.jit, static_argnums=(0, 2))
-    def _wb_grow(self, ring: jax.Array, newcap: int) -> jax.Array:
-        return jnp.pad(ring, (0, newcap - ring.shape[0]))
+        w, L, D = self.window_images, geo.fft_inv_size, geo.decimation
+        spec = jnp.fft.fft(frames, axis=1)
+        g = spec[:, idxtab]
+        prod = g * hwin[None, :, :]
+        folded = prod.reshape(frames.shape[0], self.rows, w, L).sum(axis=2)
+        time = jnp.fft.ifft(folded, axis=2) / D
+        time = time[:, :, geo.scrap:]
+        out = time.transpose(1, 0, 2).reshape(self.rows, -1)
+        n = out.shape[1]
+        ph = phase0[:, None] + residual[:, None] * jnp.arange(n)[None, :]
+        out = out * jnp.exp(-2j * jnp.pi * ph)
+        new_phase = jnp.mod(phase0 + residual * n, 1.0)
+        return out.astype(jnp.complex64), new_phase
 
     # ---- streaming API ----
+
+    def _put_idx(self, v: int) -> jax.Array:
+        return device_put_safe(np.asarray([[v]], np.int32))
 
     def process_device(self, samples) -> list[jax.Array]:
         """Feed wideband samples (numpy, or an already-uploaded device
         array from the prefetching ingest path); returns device-resident
-        (C, out_chunk) blocks at 5400 sps (>= 0 full chunks; remainder
+        (rows, out_chunk) blocks at 5400 sps (>= 0 full chunks; remainder
         stays buffered on device)."""
         geo = self.geo
         if isinstance(samples, jax.Array):
@@ -326,48 +396,55 @@ class Channelizer:
             x = device_put_safe(np.asarray(samples, np.complex64))
         n = int(x.shape[0])
         if n:
-            while self._wb_fill + n > self._rw:
-                self._rw *= 2
-                self._wb_ring = self._wb_grow(self._wb_ring, self._rw)
+            if self._wb_fill + n > self._rw:
+                raise RuntimeError(
+                    f'wideband ring overflow: fill {self._wb_fill} + {n} '
+                    f'> {self._rw} (upload chunk too large for geometry)')
             self._wb_ring = self._wb_append(
                 self._wb_ring, x,
-                device_put_safe(np.asarray([[self._wb_fill]], np.int32)))
+                self._put_idx((self._wb_start + self._wb_fill) % self._rw))
             self._wb_fill += n
         chunks: list[jax.Array] = []
         while (avail := (self._wb_fill - geo.overlap_length)
                 // geo.input_size) > 0:
-            # bound each append so it always fits the fs1 ring's headroom
-            n_now = min(avail, self._max_frames,
-                        max(1, (self._r1 - self._fs1_fill)
-                            // geo.post_input_size - 1))
-            if (self._fs1_fill + n_now * geo.post_input_size) > self._r1:
-                chunks.extend(self._drain_resampler())
-                if (self._fs1_fill + n_now * geo.post_input_size) > self._r1:
-                    raise RuntimeError('fs1 ring overflow (consumer stalled)')
-            frames, self._wb_ring = self._wb_frames(self._wb_ring, n_now)
+            # power-of-two batch (bounded compile-shape set, ADVICE r2 #3)
+            n_now = 1 << int(np.log2(min(avail, self._max_frames)))
+            out, self._mixer_phase = self._channelize(
+                self._wb_ring, self._put_idx(self._wb_start), n_now,
+                self._mixer_phase, self._idx, self._hwin, self._residual_dev)
+            self._wb_start = (self._wb_start + n_now * geo.input_size) \
+                % self._rw
             self._wb_fill -= n_now * geo.input_size
-            out, self._mixer_phase = self._channelize_blocks(
-                frames, self._mixer_phase, self._kernels_fft)
-            self._fs1_ring = self._ring_append(
-                self._fs1_ring, out,
-                device_put_safe(np.asarray([[self._fs1_fill]], np.int32)))
-            self._fs1_fill += n_now * geo.post_input_size
+            self._append_fs1(out)
             chunks.extend(self._drain_resampler())
         return chunks
+
+    def _append_fs1(self, chunk: jax.Array) -> None:
+        """Append an (rows, n) fs1 chunk to the device ring."""
+        n = int(chunk.shape[1])
+        if self._fs1_fill + n > self._r1:
+            raise RuntimeError('fs1 ring overflow (consumer stalled)')
+        self._fs1_ring = self._fs1_append(
+            self._fs1_ring, chunk,
+            self._put_idx((self._fs1_start + self._fs1_fill) % self._r1))
+        self._fs1_fill += n
 
     def process(self, samples: np.ndarray) -> np.ndarray:
         """process_device + host materialization (offline/test use)."""
         chunks = self.process_device(samples)
         if not chunks:
-            return np.zeros((self.num_channels, 0), dtype=np.complex64)
+            return np.zeros((self.rows, 0), dtype=np.complex64)
         return np.concatenate([device_get(c) for c in chunks], axis=1)
 
     def _drain_resampler(self) -> list[jax.Array]:
+        """Emit as many out_chunk-sized resampled blocks as the fs1 ring
+        allows.  Positions are host-computed (float64 global clock) and
+        uploaded once per block -- one small (out_chunk, 1) transfer per
+        out_chunk/5400 seconds of stream."""
         chunks: list[jax.Array] = []
         k = self._rs_taps
         while True:
             avail = self._ring_global_start + self._fs1_fill
-            # positions for the next out_chunk outputs
             n0 = self._out_count
             last_pos = (n0 + self.out_chunk - 1) * self.ratio
             if int(np.floor(last_pos)) + k >= avail:
@@ -376,24 +453,24 @@ class Channelizer:
                 - self._ring_global_start
             base = np.floor(pos).astype(np.int64)
             frac = pos - base
-            offsets = base - (k // 2 - 1)
-            if offsets.min() < 0:
-                # should not happen (ring trimmed conservatively)
-                offsets = np.maximum(offsets, 0)
+            rel = base - (k // 2 - 1)
+            if rel.min() < 0:
+                rel = np.maximum(rel, 0)   # first-ever block: clamp into ring
+            offsets = (self._fs1_start + rel) % self._r1
             phases = np.round(frac * 64).astype(np.int32)
             chunks.append(self._resample(
                 self._fs1_ring, self._bank,
                 device_put_safe(offsets.astype(np.int32).reshape(-1, 1)),
-                device_put_safe(phases.astype(np.int32).reshape(-1, 1)),
+                device_put_safe(phases.reshape(-1, 1)),
                 self.out_chunk))
             self._out_count += self.out_chunk
-            # trim ring
+            # advance the ring read cursor (pure bookkeeping -- the ring is
+            # modular, so freeing space is just moving the cursor)
             keep_from = int(np.floor(self._out_count * self.ratio)) - k
             drop = max(0, keep_from - self._ring_global_start)
+            drop = min(drop, self._fs1_fill)
             if drop:
-                self._fs1_ring = self._ring_drop(
-                    self._fs1_ring,
-                    device_put_safe(np.asarray([[drop]], np.int32)))
+                self._fs1_start = (self._fs1_start + drop) % self._r1
                 self._fs1_fill -= drop
                 self._ring_global_start += drop
         return chunks

@@ -303,7 +303,7 @@ def tracker_block(state: TrackerState,
         # (odd) group delay maps odd-step demod onto even-step samples, so
         # even steps must sit on the matched-filter peaks (mirrors the
         # liquid symsync + eqlms delay chain of the reference).
-        y_e, ydot = interp_slab(st.tau - base.astype(jnp.float32) + base, slab, base, True)
+        y_e, ydot = interp_slab(st.tau, slab, base, True)
         q = jnp.clip(y_e.real * ydot.real + y_e.imag * ydot.imag, -1.0, 1.0)
         rate = st.rate + k2 * q
         tau_o = st.tau + base_step + k1 * q + rate

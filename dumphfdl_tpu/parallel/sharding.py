@@ -13,8 +13,9 @@ Production mapping on a ('time', 'chan') mesh:
   receives its predecessor's trailing `overlap` samples by collective
   permute (shard 0 gets the carried tail of the previous super-block),
   frames its span, runs the batched forward FFT, and computes the
-  per-channel DDC fold for its *local* channel slice (filter kernels
-  sharded over 'chan').  All devices contribute.
+  per-channel **bin-window gather** DDC (see dsp/frontend.py) for its
+  *local* channel slice (gather tables and kernel windows sharded over
+  'chan').  All devices contribute.
 * **Demodulator** (cost ∝ channels): the fused tracker scan is serial in
   time per channel, so channels shard over BOTH mesh axes (T*K-way);
   XLA inserts the narrowband redistribution collective at the
@@ -29,7 +30,6 @@ synthesized capture and asserts decoded-PDU correctness.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +62,7 @@ class ShardedFrontend:
     P('chan', 'time'), with the overlap halo exchanged on device.
     """
 
-    def __init__(self, ch: Channelizer, mesh: Mesh, c_pad: int,
+    def __init__(self, ch: Channelizer, mesh: Mesh,
                  frames_per_shard: int = 4):
         self.ch = ch
         self.mesh = mesh
@@ -72,20 +72,15 @@ class ShardedFrontend:
         self.span = self.F * geo.input_size
         self.super_len = self.T * self.span
         self.nb_cols = self.T * self.F * geo.post_input_size
-        self.c_pad = c_pad
+        self.c_pad = ch.rows
 
-        kern = np.zeros((c_pad, geo.fft_size), np.complex64)
-        kern[:ch.num_channels] = ch._kernels_fft_np
-        coarse = np.zeros((c_pad,), np.int32)
-        coarse[:ch.num_channels] = ch._coarse
-        self._residual64 = np.zeros((c_pad,), np.float64)
-        self._residual64[:ch.num_channels] = ch._residual
         kshard = NamedSharding(mesh, P('chan', None))
         cshard = NamedSharding(mesh, P('chan'))
-        self._kernels = jax.device_put(kern, kshard)
-        self._coarse_dev = jax.device_put(coarse, cshard)
+        self._idx = jax.device_put(ch._idx_np, kshard)
+        self._hwin = jax.device_put(ch._hwin_np, kshard)
+        self._residual64 = ch._residual64
         self._residual_dev = jax.device_put(
-            self._residual64.astype(np.float32), cshard)
+            ch._residual64.astype(np.float32), cshard)
         rep = NamedSharding(mesh, P(None))
         self._tail = jax.device_put(
             np.zeros(geo.overlap_length, np.complex64), rep)
@@ -97,14 +92,14 @@ class ShardedFrontend:
     def _build_step(self):
         geo = self.ch.geo
         T, F = self.T, self.F
-        span = self.span
         post = geo.post_input_size
         D = geo.decimation
         L = geo.fft_inv_size
+        w = self.ch.window_images
         ov = geo.overlap_length
 
-        def step(x, tail_prev, kernels, coarse, residual, phase0):
-            # local shapes: x (1, span); kernels (Cl, N); phase0 (1, Cl)
+        def step(x, tail_prev, idxtab, hwin, residual, phase0):
+            # local shapes: x (1, span); idxtab/hwin (Cl, W); phase0 (1, Cl)
             t = jax.lax.axis_index('time')
             xl = x[0]
             # halo exchange == the reference's overlap-save memmove
@@ -117,10 +112,9 @@ class ShardedFrontend:
                    + jnp.arange(geo.fft_size, dtype=jnp.int32)[None, :])
             frames = x_ext[idx]
             spec = jnp.fft.fft(frames, axis=1)                 # (F, N)
-            prod = spec[:, None, :] * kernels[None, :, :]      # (F, Cl, N)
-            shifted = jax.vmap(lambda p, b: jnp.roll(p, -b, axis=-1),
-                               in_axes=(1, 0), out_axes=1)(prod, coarse)
-            folded = shifted.reshape(F, -1, D, L).sum(2)
+            g = spec[:, idxtab]                                # (F, Cl, W)
+            prod = g * hwin[None, :, :]
+            folded = prod.reshape(F, -1, w, L).sum(axis=2)
             nb = jnp.fft.ifft(folded, axis=2)[:, :, geo.scrap:] / D
             nb = nb.transpose(1, 0, 2).reshape(-1, F * post)   # (Cl, F*post)
             # residual mixer: phase0 computed host-side in f64 for this
@@ -138,7 +132,7 @@ class ShardedFrontend:
         sharded = jax.shard_map(
             step, mesh=self.mesh,
             in_specs=(P('time', None), P(None), P('chan', None),
-                      P('chan'), P('chan'), P('time', 'chan')),
+                      P('chan', None), P('chan'), P('time', 'chan')),
             out_specs=(P('chan', 'time'), P(None)),
             check_vma=False,
         )
@@ -154,8 +148,8 @@ class ShardedFrontend:
         starts = self._nb_count + np.arange(self.T) * self.F * post
         ph0 = np.mod(self._residual64[None, :] * starts[:, None], 1.0)
         ph0 = jax.device_put(ph0.astype(np.float32), self._ph_shard)
-        nb, self._tail = self._step(xs, self._tail, self._kernels,
-                                    self._coarse_dev, self._residual_dev, ph0)
+        nb, self._tail = self._step(xs, self._tail, self._idx, self._hwin,
+                                    self._residual_dev, ph0)
         self._nb_count += self.T * self.F * post
         return nb
 
@@ -166,7 +160,7 @@ class ShardedWidebandReceiver(WidebandReceiver):
 
     Frontend work shards over 'time' (halo via collective permute), the
     demodulator's channel batch shards over all mesh devices; the fs1
-    resampler ring, nb ring, and all demod state are device-resident and
+    resampler ring and all demod state are device-resident and
     channel-sharded."""
     mesh: Mesh = None
     frames_per_shard: int = 4
@@ -174,34 +168,37 @@ class ShardedWidebandReceiver(WidebandReceiver):
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = make_mesh()
-        self.channelizer = Channelizer(self.sample_rate, self.centerfreq,
-                                       list(self.frequencies))
         self.bank = ChannelBank(len(self.frequencies), mesh=self.mesh,
                                 mesh_axes=('time', 'chan'), auto_shard=False)
         c_pad = self.bank._c
-        self.frontend = ShardedFrontend(self.channelizer, self.mesh, c_pad,
+        self.channelizer = Channelizer(self.sample_rate, self.centerfreq,
+                                       list(self.frequencies),
+                                       out_chunk=self.block_len, rows=c_pad)
+        self.frontend = ShardedFrontend(self.channelizer, self.mesh,
                                         self.frames_per_shard)
         shard2d = NamedSharding(self.mesh, P(('time', 'chan'), None))
         ch = self.channelizer
-        # rebuild the fs1 ring with padded channel rows, channel-sharded,
-        # and big enough for one sharded frontend step per append
+        # rebuild the fs1 ring channel-sharded and big enough for one
+        # sharded frontend step per append
         need = int(ch.out_chunk * ch.ratio) + ch._rs_taps \
             + 2 * self.frontend.nb_cols + 64
         ch._r1 = 1 << int(np.ceil(np.log2(need)))
         ch._fs1_ring = jax.device_put(
             np.zeros((c_pad, ch._r1), np.complex64), shard2d)
+        ch._fs1_start = 0
         ch._fs1_fill = 0
         ch._ring_global_start = 0
-        self._r2 = 1 << int(np.ceil(np.log2(
-            self.block_len + 2 * ch.out_chunk)))
-        self._nb_ring = jax.device_put(
-            np.zeros((c_pad, self._r2), np.complex64), shard2d)
-        self._nb_fill = 0
         self.sample_clock = 0
         self._wb_buf = np.zeros(0, np.complex64)
 
-    def process(self, wideband: np.ndarray) -> list:
+    def process(self, wideband) -> list:
         self.sample_clock += len(wideband)
+        if isinstance(wideband, jax.Array):
+            # mesh runs normally feed host chunks (app skips the ingest
+            # upload when sharded); if a device array does arrive, read it
+            # back via the restricted-safe path rather than np.asarray
+            from ..utils.xfer import device_get
+            wideband = device_get(wideband)
         wideband = np.asarray(wideband, np.complex64)
         self._wb_buf = np.concatenate([self._wb_buf, wideband])
         events = []
@@ -210,14 +207,9 @@ class ShardedWidebandReceiver(WidebandReceiver):
         while len(self._wb_buf) >= sl:
             x, self._wb_buf = self._wb_buf[:sl], self._wb_buf[sl:]
             nb = self.frontend.step(x)
-            if ch._fs1_fill + self.frontend.nb_cols > ch._r1:
-                raise RuntimeError('fs1 ring overflow (consumer stalled)')
-            from ..utils.xfer import device_put_safe
-            ch._fs1_ring = ch._ring_append(
-                ch._fs1_ring, nb,
-                device_put_safe(np.asarray([[ch._fs1_fill]], np.int32)))
-            ch._fs1_fill += self.frontend.nb_cols
-            events.extend(self._consume_chunks(ch._drain_resampler()))
+            ch._append_fs1(nb)
+            for chunk in ch._drain_resampler():
+                events.extend(self.bank.process(chunk))
         return events
 
     def flush(self) -> list:

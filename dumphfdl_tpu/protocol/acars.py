@@ -166,7 +166,8 @@ def _parse_body(buf: bytes, msg_dir: str, metadata, ctx) -> ProtoNode:
         child = _parse_arinc622(data['text'], use_raw, msg_dir)
         if child is None and data['label'] == 'MA':
             from . import miam as miam_mod
-            child = miam_mod.parse(data['label'], data['text'], use_raw)
+            child = miam_mod.parse(data['label'], data['text'], use_raw,
+                                   msg_dir=msg_dir, ctx=ctx)
         if child is not None:
             node.next = child
     return node
@@ -247,9 +248,29 @@ def _fmt(n: ProtoNode, lines: list[str], indent: int, ctx) -> None:
             f"Msg num: {d['msg_num'] or '-'}")
     if d['text']:
         iprintf(lines, indent, 'Message:')
-        for line in d['text'].split('\r\n'):
-            if line:
-                iprintf(lines, indent + 1, line)
+        text = d['text']
+        if getattr(ctx.options, 'prettify_xml', False):
+            text = prettify_xml(text)
+        for chunk in text.split('\r\n'):
+            for line in chunk.split('\n'):
+                if line:
+                    iprintf(lines, indent + 1, line)
+
+
+def prettify_xml(text: str) -> str:
+    """Pretty-print an XML payload (--prettify-xml, main.c:305: 'Pretty-
+    print XML payloads in ACARS and MIAM CORE PDUs').  Returns the text
+    unchanged when it is not well-formed XML."""
+    stripped = text.strip()
+    if not stripped.startswith('<'):
+        return text
+    try:
+        from xml.dom import minidom
+        dom = minidom.parseString(stripped)
+    except Exception:
+        return text
+    pretty = dom.toprettyxml(indent='  ')
+    return '\n'.join(ln for ln in pretty.split('\n') if ln.strip())
 
 
 def _js(n: ProtoNode) -> dict:

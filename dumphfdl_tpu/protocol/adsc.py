@@ -48,6 +48,17 @@ def _coord(c: int) -> float:
     return c * 180.0 / (1 << 20)
 
 
+def _decode_flight_id(b: bytes) -> str:
+    """Flight ID (tag 12): 8 characters of 6 bits across 6 octets,
+    MSB-first; each 6-bit value is ASCII - 0x20 (space..'_', covering
+    digits and uppercase).  The reference reads the decoded string from
+    libacars' la_adsc_flight_id_t (acars.c:130-139) and feeds it to
+    position info; trailing spaces are padding."""
+    fid = int.from_bytes(b[:6], 'big')
+    chars = [chr(((fid >> (42 - 6 * i)) & 0x3F) + 0x20) for i in range(8)]
+    return ''.join(chars).rstrip()
+
+
 def parse_basic_report(b: bytes) -> dict:
     lat = (b[0] << 13) | (b[1] << 5) | (b[2] >> 3)
     lon = ((b[2] & 0x7) << 18) | (b[3] << 10) | (b[4] << 2) | (b[5] >> 6)
@@ -84,7 +95,7 @@ def parse(payload: bytes) -> ProtoNode | None:
         elif tag == 17:
             entry['icao'] = body[0] << 16 | body[1] << 8 | body[2]
         elif tag == 12:
-            entry['raw'] = body.hex()
+            entry['flight_id'] = _decode_flight_id(body)
         else:
             entry['raw'] = body.hex()
         tags.append(entry)
@@ -104,6 +115,10 @@ def parse(payload: bytes) -> ProtoNode | None:
         if 'icao' in t:
             node.data['icao'] = t['icao']
             break
+    for t in tags:
+        if 'flight_id' in t:
+            node.data['flight_id'] = t['flight_id']
+            break
 
     def fmt(n: ProtoNode, lines: list[str], indent: int) -> None:
         iprintf(lines, indent, 'ADS-C message:')
@@ -119,6 +134,8 @@ def parse(payload: bytes) -> ProtoNode | None:
                         f'Time: {int(ts // 60):02d}:{ts % 60:06.3f}')
             elif 'icao' in t:
                 iprintf(lines, indent + 1, f"ICAO: {t['icao']:06X}")
+            elif 'flight_id' in t:
+                iprintf(lines, indent + 1, f"Flight ID: {t['flight_id']}")
             elif 'raw' in t:
                 iprintf(lines, indent + 1, f"Data: {t['raw']}")
 

@@ -19,19 +19,21 @@ Wire format notes (unaligned PER, no extension markers in FANS-1/A):
   ATCUplinkMsgElementId   ::= CHOICE of 183 alternatives  -- 8-bit index
   ATCDownlinkMsgElementId ::= CHOICE of 81 alternatives   -- 7-bit index
 
-Element *arguments* decode for the common scalar types (altitude, speed,
-time, position, frequency, degrees, beacon code, free text, ...); the
-argument signature of each element is derived from the bracketed
-placeholders of its phraseology string, which follow the ASN.1 SEQUENCE
-field order by construction of the DO-258A message set.  Elements whose
-arguments use the large compound types (route clearance, position
-report, predeparture clearance, placeBearingDistance, satchannel) fall
-back to the raw-bits rendering and stop the element walk there (element
-boundaries are unknowable past an undecoded argument).  All integer
-ranges are the PER-visible constraints recorded in the decoder table;
-every decoder is round-trip tested against the encoders in
-tests/test_cpdlc.py, but none of this is yet validated bit-for-bit
-against libacars on an off-air capture (see NOTES.md).
+Element *arguments* decode for the scalar types (altitude, speed, time,
+position, frequency, degrees, beacon code, free text, ...) AND the large
+compound types (route clearance, position report, predeparture
+clearance, placeBearingDistance, satchannel -- see the compound section
+below); the argument signature of each element is derived from the
+bracketed placeholders of its phraseology string, which follow the ASN.1
+SEQUENCE field order by construction of the DO-258A message set.  The
+only remaining undecoded construct is RouteClearance's
+routeInformationAdditional annex, which falls back to the raw-bits
+rendering and stops the element walk there (element boundaries are
+unknowable past an undecoded argument).  All integer ranges are the
+PER-visible constraints recorded in the decoder table; every decoder is
+round-trip tested against the encoders in tests/test_cpdlc.py, but none
+of this is yet validated bit-for-bit against libacars on an off-air
+capture (see NOTES.md).
 
 CR1/CC1/DR1 connect-management payloads carry the same ATC message
 structure (CR1/DR1 are aircraft-initiated -> ATCDownlinkMessage, CC1 is
@@ -480,7 +482,7 @@ def _arg_position(rd):
         return _ia5(rd, 4, 4)            # airport
     if c == 3:
         return _arg_latlon(rd)
-    raise _Unsupported('placeBearingDistance')
+    return _arg_place_bearing_distance(rd)
 
 
 def _arg_distance_offset(rd):
@@ -511,7 +513,22 @@ def _arg_frequency(rd):
         return f'{(_uint(rd, 0, 759) * 25 + 118000) / 1000.0:.3f} MHZ'
     if c == 2:                           # UHF, 25 kHz raster
         return f'{(_uint(rd, 0, 6999) * 25 + 225000) / 1000.0:.3f} MHZ'
-    raise _Unsupported('satchannel')
+    # SatChannel ::= NumericString SIZE(12): PER 4-bit chars over the
+    # canonical NumericString alphabet (space, then '0'..'9')
+    return 'SATCOM ' + _numeric(rd, 12).strip()
+
+
+_NUMERIC_ALPHABET = ' 0123456789'
+
+
+def _numeric(rd: BitReader, n: int) -> str:
+    out = []
+    for _ in range(n):
+        v = rd.read(4)
+        if v >= len(_NUMERIC_ALPHABET):
+            raise ValueError('bad NumericString char')
+        out.append(_NUMERIC_ALPHABET[v])
+    return ''.join(out)
 
 
 def _arg_beacon_code(rd):
@@ -598,6 +615,185 @@ def _arg_procedure(rd):
     return out
 
 
+# --- compound DO-258A types -------------------------------------------------
+#
+# These decode the large SEQUENCE types (route clearance, position
+# report, predeparture clearance) that the reference gets from libacars
+# (/root/reference/src/acars.c:28-40 -> la_acars_parse_and_reassemble).
+# Layouts follow the DO-258A ASN.1 structure (unaligned PER: leading
+# optional-field preamble, then fields in order); primitive encodings
+# reuse this module's scalar decoders so the whole family shares one set
+# of PER conventions.  Like the scalar arguments they are round-trip
+# tested against the encoders below but not yet validated bit-for-bit
+# against libacars on an off-air capture (no libacars in this tree);
+# any mismatch on real traffic degrades to the raw-bits rendering via
+# the ValueError fallback in parse().
+
+
+def _arg_remaining_fuel(rd):
+    """RemainingFuel ::= Time (fuel endurance hh:mm)."""
+    return _arg_time(rd)
+
+
+def _arg_souls(rd):
+    """RemainingSouls ::= INTEGER (1..1024)."""
+    return str(_uint(rd, 1, 1024))
+
+
+def _arg_published_identifier(rd):
+    """PublishedIdentifier ::= SEQUENCE { fixName, latitudeLongitude OPT }."""
+    has_ll = rd.read(1)
+    name = _ia5(rd, 1, 5)
+    if has_ll:
+        name += f' ({_arg_latlon(rd)})'
+    return name
+
+
+def _arg_place_bearing(rd):
+    """PlaceBearing ::= SEQUENCE { publishedIdentifier, degrees }."""
+    pid = _arg_published_identifier(rd)
+    return f'{pid} BEARING {_arg_degrees(rd)}'
+
+
+def _arg_place_bearing_distance(rd):
+    """PlaceBearingDistance ::= SEQUENCE { placeBearing, distance }."""
+    return f'{_arg_place_bearing(rd)} DISTANCE {_arg_distance(rd)}'
+
+
+_RUNWAY_CONF = ('L', 'R', 'C', '')
+
+
+def _arg_runway(rd):
+    """Runway ::= SEQUENCE { direction (1..36), configuration ENUM }."""
+    d = _uint(rd, 1, 36)
+    conf = _RUNWAY_CONF[_uint(rd, 0, 3)]
+    return f'RWY {d:02d}{conf}'
+
+
+# RouteInformation ::= CHOICE (6 alternatives, 3-bit index)
+def _arg_route_information(rd):
+    c = _uint(rd, 0, 5)
+    if c == 0:
+        return _arg_published_identifier(rd)
+    if c == 1:
+        return _arg_latlon(rd)
+    if c == 2:      # placeBearingPlaceBearing: SEQUENCE of exactly 2
+        return f'{_arg_place_bearing(rd)} / {_arg_place_bearing(rd)}'
+    if c == 3:
+        return _arg_place_bearing_distance(rd)
+    if c == 4:      # airwayIdentifier
+        return f'AIRWAY {_ia5(rd, 1, 7)}'
+    # trackDetail ::= SEQUENCE { trackName, SEQ SIZE(1..128) OF LatLon }
+    name = _ia5(rd, 1, 8)
+    n = _uint(rd, 1, 128)
+    pts = ', '.join(_arg_latlon(rd) for _ in range(n))
+    return f'TRACK {name} [{pts}]'
+
+
+def _arg_route_clearance(rd):
+    """RouteClearance ::= SEQUENCE, 9 OPTIONAL fields (9-bit preamble):
+    airportDeparture, airportDestination, runwayDeparture,
+    procedureDeparture, runwayArrival, procedureApproach,
+    procedureArrival, routeInformations SEQ SIZE(1..128),
+    routeInformationAdditional.
+
+    routeInformationAdditional (the ATW/hold/RTA annex) is not decoded:
+    if present the whole element falls back to the raw rendering, since
+    element boundaries are unknowable past an undecoded field."""
+    opt = [rd.read(1) for _ in range(9)]
+    parts = []
+    if opt[0]:
+        parts.append(f'DEPARTING {_ia5(rd, 4, 4)}')
+    if opt[1]:
+        parts.append(f'DESTINATION {_ia5(rd, 4, 4)}')
+    if opt[2]:
+        parts.append(f'DEP {_arg_runway(rd)}')
+    if opt[3]:
+        parts.append(f'DEP PROC {_arg_procedure(rd)}')
+    if opt[4]:
+        parts.append(f'ARR {_arg_runway(rd)}')
+    if opt[5]:
+        parts.append(f'APPROACH {_arg_procedure(rd)}')
+    if opt[6]:
+        parts.append(f'ARR PROC {_arg_procedure(rd)}')
+    if opt[7]:
+        n = _uint(rd, 1, 128)
+        route = ' '.join(_arg_route_information(rd) for _ in range(n))
+        parts.append(f'ROUTE: {route}')
+    if opt[8]:
+        raise _Unsupported('routeInformationAdditional')
+    return ' | '.join(parts) if parts else '(empty)'
+
+
+_TURBULENCE = ('LIGHT', 'MODERATE', 'SEVERE')
+_ICING = ('RESERVED', 'LIGHT', 'MODERATE', 'SEVERE')
+
+
+def _arg_winds(rd):
+    """Winds ::= SEQUENCE { windDirection (1..360), windSpeed Speed }."""
+    return f'WIND {_uint(rd, 1, 360)} DEG AT {_arg_speed(rd)}'
+
+
+def _arg_vertical_change(rd):
+    """VerticalChange ::= SEQUENCE { direction ENUM{up,down}, rate }."""
+    d = 'DOWN' if rd.read(1) else 'UP'
+    return f'{d} {_arg_vertical_rate(rd)}'
+
+
+def _arg_position_report(rd):
+    """PositionReport ::= SEQUENCE: 3 mandatory fields (current position,
+    time, altitude) + 19 OPTIONAL fields (19-bit preamble), in DO-258A
+    field order."""
+    opt = [rd.read(1) for _ in range(19)]
+    parts = [f'AT {_arg_position(rd)}',
+             f'TIME {_arg_time(rd)}',
+             f'ALT {_arg_altitude(rd)}']
+    optional = (
+        ('NEXT FIX {}', _arg_position),
+        ('ETA {}', _arg_time),
+        ('THEN {}', _arg_position),
+        ('DEST ETA {}', _arg_time),
+        ('FUEL {}', _arg_remaining_fuel),
+        ('TEMP {} C', lambda r: str(_uint(r, -100, 100))),
+        ('{}', _arg_winds),
+        ('TURBULENCE {}', lambda r: _TURBULENCE[_uint(r, 0, 2)]),
+        ('ICING {}', lambda r: _ICING[_uint(r, 0, 3)]),
+        ('SPEED {}', _arg_speed),
+        ('GS {}', _arg_speed),
+        ('{}', _arg_vertical_change),
+        ('TRACK {}', _arg_degrees),
+        ('HDG {}', _arg_degrees),
+        ('DIST {}', _arg_distance),
+        ('REMARKS: {}', _arg_free_text),
+        ('REPORTED WPT {}', _arg_position),
+        ('REPORTED WPT TIME {}', _arg_time),
+        ('REPORTED WPT ALT {}', _arg_altitude),
+    )
+    for flag, (fmt, dec) in zip(opt, optional):
+        if flag:
+            parts.append(fmt.format(dec(rd)))
+    return ' | '.join(parts)
+
+
+def _arg_predeparture_clearance(rd):
+    """PredepartureClearance ::= SEQUENCE: flight id + departure +
+    destination (mandatory) + 4 OPTIONAL fields (4-bit preamble):
+    runwayDeparture, procedureDeparture, routeClearance, freeText."""
+    opt = [rd.read(1) for _ in range(4)]
+    parts = [f'FLT {_ia5(rd, 2, 8)}',
+             f'DEPARTING {_ia5(rd, 4, 4)}',
+             f'DESTINATION {_ia5(rd, 4, 4)}']
+    if opt[0]:
+        parts.append(f'DEP {_arg_runway(rd)}')
+    if opt[1]:
+        parts.append(f'DEP PROC {_arg_procedure(rd)}')
+    if opt[2]:
+        parts.append(f'CLEARED {_arg_route_clearance(rd)}')
+    if opt[3]:
+        parts.append(f'REMARKS: {_arg_free_text(rd)}')
+    return ' | '.join(parts)
+
+
 _ARG_DECODERS = {
     'altitude': _arg_altitude,
     'speed': _arg_speed,
@@ -620,6 +816,11 @@ _ARG_DECODERS = {
     'error information': _arg_error,
     'version number': _arg_version,
     'procedure name': _arg_procedure,
+    'remaining fuel': _arg_remaining_fuel,
+    'souls': _arg_souls,
+    'route clearance': _arg_route_clearance,
+    'position report': _arg_position_report,
+    'predeparture clearance': _arg_predeparture_clearance,
 }
 
 _PLACEHOLDER_RE = re.compile(r'\[([^\]]+)\]')
@@ -761,13 +962,36 @@ def _enc_position(w, v):
     elif c == 2:
         _wia5(w, val, 4, 4)
     elif c == 3:
-        lat, ns, lon, ew = val
-        _wuint(w, lat, 0, 90000)
-        w.write(ns, 1)
-        _wuint(w, lon, 0, 180000)
-        w.write(ew, 1)
+        _enc_latlon(w, val)
     else:
-        raise ValueError('cannot encode placeBearingDistance')
+        _enc_place_bearing_distance(w, val)
+
+
+def _enc_latlon(w, v):                    # (lat_milli, ns, lon_milli, ew)
+    lat, ns, lon, ew = v
+    _wuint(w, lat, 0, 90000)
+    w.write(ns, 1)
+    _wuint(w, lon, 0, 180000)
+    w.write(ew, 1)
+
+
+def _enc_published_identifier(w, v):      # (name, latlon|None)
+    name, latlon = v
+    w.write(1 if latlon is not None else 0, 1)
+    _wia5(w, name, 1, 5)
+    if latlon is not None:
+        _enc_latlon(w, latlon)
+
+
+def _enc_place_bearing(w, v):             # (pubid, degrees)
+    _enc_published_identifier(w, v[0])
+    _enc_degrees(w, v[1])
+
+
+def _enc_place_bearing_distance(w, v):    # (pubid, degrees, dist)
+    _enc_published_identifier(w, v[0])
+    _enc_degrees(w, v[1])
+    _enc_distance(w, v[2])
 
 
 def _enc_distance_offset(w, v):           # ('nm'|'km', val)
@@ -795,8 +1019,9 @@ def _enc_frequency(w, v):                 # (choice, raw)
         _wuint(w, raw, 0, 759)
     elif c == 2:
         _wuint(w, raw, 0, 6999)
-    else:
-        raise ValueError('cannot encode satchannel')
+    else:                                 # satchannel: 12-char NumericString
+        for ch in raw:
+            w.write(_NUMERIC_ALPHABET.index(ch), 4)
 
 
 def _enc_beacon(w, v):                    # '0137'
@@ -872,6 +1097,117 @@ def _enc_procedure(w, v):                 # (ptype_idx, name, transition|None)
         _wia5(w, transition, 1, 5)
 
 
+# compound-type encoders (value forms documented inline)
+
+def _enc_runway(w, v):                    # (direction, conf_idx)
+    _wuint(w, v[0], 1, 36)
+    _wuint(w, v[1], 0, 3)
+
+
+def _enc_route_information(w, v):
+    kind, val = v
+    idx = ('fix', 'latlon', 'pbpb', 'pbd', 'airway', 'track').index(kind)
+    _wuint(w, idx, 0, 5)
+    if kind == 'fix':
+        _enc_published_identifier(w, val)
+    elif kind == 'latlon':
+        _enc_latlon(w, val)
+    elif kind == 'pbpb':
+        _enc_place_bearing(w, val[0])
+        _enc_place_bearing(w, val[1])
+    elif kind == 'pbd':
+        _enc_place_bearing_distance(w, val)
+    elif kind == 'airway':
+        _wia5(w, val, 1, 7)
+    else:                                 # ('track', (name, [latlon...]))
+        name, pts = val
+        _wia5(w, name, 1, 8)
+        _wuint(w, len(pts), 1, 128)
+        for p in pts:
+            _enc_latlon(w, p)
+
+
+def _enc_route_clearance(w, v):           # dict, optional keys
+    keys = ('dep', 'dest', 'dep_rwy', 'dep_proc', 'arr_rwy', 'approach',
+            'arr_proc', 'route', 'additional')
+    if v.get('additional') is not None:
+        raise ValueError('cannot encode routeInformationAdditional')
+    for k in keys:
+        w.write(1 if v.get(k) is not None else 0, 1)
+    if v.get('dep') is not None:
+        _wia5(w, v['dep'], 4, 4)
+    if v.get('dest') is not None:
+        _wia5(w, v['dest'], 4, 4)
+    if v.get('dep_rwy') is not None:
+        _enc_runway(w, v['dep_rwy'])
+    if v.get('dep_proc') is not None:
+        _enc_procedure(w, v['dep_proc'])
+    if v.get('arr_rwy') is not None:
+        _enc_runway(w, v['arr_rwy'])
+    if v.get('approach') is not None:
+        _enc_procedure(w, v['approach'])
+    if v.get('arr_proc') is not None:
+        _enc_procedure(w, v['arr_proc'])
+    if v.get('route') is not None:
+        _wuint(w, len(v['route']), 1, 128)
+        for ri in v['route']:
+            _enc_route_information(w, ri)
+
+
+def _enc_winds(w, v):                     # (direction, speed_value)
+    _wuint(w, v[0], 1, 360)
+    _enc_speed(w, v[1])
+
+
+def _enc_vertical_change(w, v):           # (is_down, vrate_value)
+    w.write(1 if v[0] else 0, 1)
+    _enc_vrate(w, v[1])
+
+
+_PR_OPTIONAL_ENCODERS = (
+    ('next_fix', _enc_position), ('eta', _enc_time),
+    ('then', _enc_position), ('dest_eta', _enc_time),
+    ('fuel', _enc_time), ('temp', lambda w, v: _wuint(w, v, -100, 100)),
+    ('winds', _enc_winds),
+    ('turbulence', lambda w, v: _wuint(w, v, 0, 2)),
+    ('icing', lambda w, v: _wuint(w, v, 0, 3)),
+    ('speed', _enc_speed), ('gs', _enc_speed),
+    ('vchange', _enc_vertical_change),
+    ('track', _enc_degrees), ('heading', _enc_degrees),
+    ('dist', _enc_distance), ('remarks', _enc_free_text),
+    ('rep_wpt', _enc_position), ('rep_wpt_time', _enc_time),
+    ('rep_wpt_alt', _enc_altitude),
+)
+
+
+def _enc_position_report(w, v):           # dict: position/time/alt + opts
+    for k, _ in _PR_OPTIONAL_ENCODERS:
+        w.write(1 if v.get(k) is not None else 0, 1)
+    _enc_position(w, v['position'])
+    _enc_time(w, v['time'])
+    _enc_altitude(w, v['alt'])
+    for k, enc in _PR_OPTIONAL_ENCODERS:
+        if v.get(k) is not None:
+            enc(w, v[k])
+
+
+def _enc_pdc(w, v):                       # dict: flt/dep/dest + opts
+    opts = ('dep_rwy', 'dep_proc', 'route', 'remarks')
+    for k in opts:
+        w.write(1 if v.get(k) is not None else 0, 1)
+    _wia5(w, v['flt'], 2, 8)
+    _wia5(w, v['dep'], 4, 4)
+    _wia5(w, v['dest'], 4, 4)
+    if v.get('dep_rwy') is not None:
+        _enc_runway(w, v['dep_rwy'])
+    if v.get('dep_proc') is not None:
+        _enc_procedure(w, v['dep_proc'])
+    if v.get('route') is not None:
+        _enc_route_clearance(w, v['route'])
+    if v.get('remarks') is not None:
+        _enc_free_text(w, v['remarks'])
+
+
 _ARG_ENCODERS = {
     'altitude': _enc_altitude,
     'speed': _enc_speed,
@@ -894,6 +1230,11 @@ _ARG_ENCODERS = {
     'error information': _enc_error,
     'version number': _enc_version,
     'procedure name': _enc_procedure,
+    'remaining fuel': _enc_time,
+    'souls': lambda w, v: _wuint(w, v, 1, 1024),
+    'route clearance': _enc_route_clearance,
+    'position report': _enc_position_report,
+    'predeparture clearance': _enc_pdc,
 }
 
 

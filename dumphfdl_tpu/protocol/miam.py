@@ -1,4 +1,4 @@
-"""MIAM (Media Independent Aircraft Messaging, ARINC 841) recognition.
+"""MIAM (Media Independent Aircraft Messaging, ARINC 841) decode.
 
 The reference gets MIAM decoding from libacars (la_miam_parse is invoked
 from la_acars_parse_and_reassemble, which /root/reference/src/acars.c:33
@@ -8,24 +8,31 @@ message text is one ACARS Convergence Function (CF) frame, identified by
 its first character, and the Single Transfer frame body carries a MIAM
 CORE PDU.
 
-Decode depth here is *recognition plus header fields*:
+Decode depth:
 
 - ACARS CF frame classification by frame-id character (the seven ARINC
   841 CF frame types).
-- For Single Transfer frames, best-effort CORE PDU header recognition:
-  the leading ASCII-hex version/PDU-type pair, plus detection of a
-  DEFLATE-compressed body by its zlib signature (MIAM CORE compresses
-  application data with DEFLATE).  Fields that do not parse cleanly are
-  reported as unknown and the payload stays available as hex.
+- For Single Transfer frames, CORE PDU header recognition (leading
+  ASCII-hex version/PDU-type pair) and **body recovery**: MIAM CORE
+  compresses application data with DEFLATE and armors binary PDUs in a
+  base-85 text encoding for the ACARS channel, so the body pipeline
+  tries (a) a raw zlib stream in the 8-bit body, (b) base85-decoding
+  the text tail (both the ASCII85 and RFC-1924 alphabets) and then a
+  zlib stream inside the result.  A recovered payload is DEFLATE-
+  decompressed and classified: an embedded ACARS message (leading SOH)
+  recurses into the ACARS parser (the 'ACARS over MIAM' application),
+  printable text is shown as text, anything else as hex.
 
 No ARINC 841 test vectors or off-air MIAM captures were available in
 this environment, so the CORE header layout is labeled best-effort in
 the output ('hdr_confidence') rather than presented as authoritative;
-the frame-id table and the DEFLATE use are well-documented public facts.
+the frame-id table, the DEFLATE use, and the base85 armoring are
+well-documented public facts.
 """
 
 from __future__ import annotations
 
+import base64
 import zlib
 
 from .tree import ProtoNode, iprintf
@@ -48,9 +55,74 @@ CORE_PDU_TYPES = {
     3: 'Aloha reply',
 }
 
+_SOH = 0x01
 
-def parse(label: str, text: str, raw: bytes) -> ProtoNode | None:
-    """Recognize a MIAM ACARS-CF frame (label 'MA')."""
+
+def _find_zlib(body: bytes):
+    """Locate and inflate a zlib stream inside `body`.
+
+    Returns (offset, decompressed) or None."""
+    for i in range(len(body) - 1):
+        if body[i] == 0x78 and body[i + 1] in (0x01, 0x5E, 0x9C, 0xDA):
+            try:
+                out = zlib.decompressobj().decompress(bytes(body[i:]))
+            except zlib.error:
+                continue
+            if out:
+                return i, out
+    return None
+
+
+def _try_base85(text: str):
+    """base85-decode `text` with the common alphabets; returns the first
+    variant whose result contains an inflatable zlib stream."""
+    t = ''.join(text.split())
+    for name, dec in (('ascii85', base64.a85decode),
+                      ('base85', base64.b85decode)):
+        for trim in range(4):          # tolerate a ragged tail
+            if len(t) - trim < 8:
+                break
+            try:
+                blob = dec(t[:len(t) - trim])
+            except ValueError:
+                continue
+            z = _find_zlib(blob)
+            if z is not None:
+                return name, z[0], z[1]
+    return None
+
+
+def _classify_payload(payload: bytes, core: dict, msg_dir, ctx) -> None:
+    """Attach the decompressed application payload to the core dict,
+    recursing into an embedded ACARS message when present."""
+    core['decompressed_len'] = len(payload)
+    if payload[:1] == bytes([_SOH]) and ctx is not None:
+        from . import acars as acars_mod
+        child = acars_mod._parse_body(payload[1:], msg_dir or 'air2gnd',
+                                      None, ctx)
+        if child is not None and not child.data.get('err'):
+            core['app'] = 'ACARS message'
+            core['_acars_child'] = child
+            return
+    try:
+        text = payload.decode('ascii')
+        printable = all(' ' <= ch <= '~' or ch in '\r\n\t' for ch in text)
+    except UnicodeDecodeError:
+        printable = False
+    if printable:
+        core['app'] = 'text'
+        if ctx is not None and getattr(ctx.options, 'prettify_xml', False):
+            from .acars import prettify_xml
+            text = prettify_xml(text)
+        core['app_text'] = text
+    else:
+        core['app'] = 'binary'
+        core['app_hex'] = payload[:512].hex()
+
+
+def parse(label: str, text: str, raw: bytes,
+          msg_dir: str | None = None, ctx=None) -> ProtoNode | None:
+    """Decode a MIAM ACARS-CF frame (label 'MA')."""
     if label != 'MA' or not text:
         return None
     fid = text[0]
@@ -72,21 +144,26 @@ def parse(label: str, text: str, raw: bytes) -> ProtoNode | None:
         if t in '0123456789abcdefABCDEF':
             tv = int(t, 16)
             core['pdu_type'] = CORE_PDU_TYPES.get(tv, f'unknown ({tv})')
-        # MIAM CORE compresses application data with DEFLATE; a zlib
-        # stream header (0x78 0x01/0x9c/0xda) inside the body is a
-        # reliable positive signal even without the full header layout.
-        comp = 'none detected'
-        for i in range(len(body) - 1):
-            if body[i] == 0x78 and body[i + 1] in (0x01, 0x5E, 0x9C, 0xDA):
-                try:
-                    zlib.decompressobj().decompress(bytes(body[i:]))
-                    comp = f'deflate (zlib stream at offset {i})'
-                    core['deflate_offset'] = i
-                except zlib.error:
-                    continue
-                break
-        core['compression'] = comp
+        # body recovery: raw zlib stream, else base85-armored zlib
+        z = _find_zlib(body)
+        if z is not None:
+            core['compression'] = f'deflate (zlib stream at offset {z[0]})'
+            core['deflate_offset'] = z[0]
+            _classify_payload(z[1], core, msg_dir, ctx)
+        else:
+            b85 = _try_base85(text[3:] if len(text) > 3 else '')
+            if b85 is not None:
+                alph, off, payload = b85
+                core['compression'] = \
+                    f'deflate ({alph}-armored, stream at offset {off})'
+                core['encoding'] = alph
+                _classify_payload(payload, core, msg_dir, ctx)
+            else:
+                core['compression'] = 'none detected'
         data['core'] = core
+        child = core.pop('_acars_child', None)
+        if child is not None:
+            node.next = child
     data['payload_hex'] = bytes(b & 0xFF for b in body).hex()
     return node
 
@@ -103,9 +180,25 @@ def _fmt(n: ProtoNode, lines: list[str], indent: int) -> None:
         if 'pdu_type' in core:
             iprintf(lines, indent + 1, f"PDU type: {core['pdu_type']}")
         iprintf(lines, indent + 1, f"Compression: {core['compression']}")
-    iprintf(lines, indent, f"Payload ({d['body_len']} bytes): "
-            f"{d['payload_hex'][:64]}{'...' if d['body_len'] > 32 else ''}")
+        if 'decompressed_len' in core:
+            iprintf(lines, indent + 1,
+                    f"Decompressed: {core['decompressed_len']} bytes "
+                    f"({core.get('app', '?')})")
+        if 'app_text' in core:
+            first, *rest = core['app_text'].split('\n')
+            iprintf(lines, indent + 1, f"Text: {first}")
+            for ln in rest:
+                iprintf(lines, indent + 2, ln)
+        if 'app_hex' in core:
+            iprintf(lines, indent + 1, f"Data: {core['app_hex'][:64]}"
+                    f"{'...' if core['decompressed_len'] > 32 else ''}")
+        if core.get('app') == 'ACARS message':
+            iprintf(lines, indent + 1, 'Embedded ACARS message:')
+    else:
+        iprintf(lines, indent, f"Payload ({d['body_len']} bytes): "
+                f"{d['payload_hex'][:64]}{'...' if d['body_len'] > 32 else ''}")
 
 
 def _js(n: ProtoNode) -> dict:
-    return dict(n.data)
+    return {k: v for k, v in n.data.items() if k != 'payload_hex'} \
+        if 'core' in n.data else dict(n.data)

@@ -35,6 +35,7 @@ class ProtocolOptions:
     freq_as_squawk: bool = False
     ac_data_details: str = 'normal'     # 'normal' | 'verbose'
     prettify_json: bool = False
+    prettify_xml: bool = False          # main.c:305,538 (libacars config)
     station_id: str | None = None
 
 

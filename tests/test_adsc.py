@@ -74,3 +74,21 @@ def test_adsc_unknown_tag_tolerated():
     assert node is not None
     assert abs(node.data['lat'] - 10.0) < 1e-3
     assert node.data['tags'][-1]['name'] == 'unknown'
+
+
+def test_flight_id_tag12_decodes():
+    """Tag 12: 8x 6-bit (ASCII-0x20) chars in 6 octets (VERDICT r2 #4)."""
+    fid = 'UAL1234'.ljust(8)              # pad to 8 with spaces
+    v = 0
+    for ch in fid:
+        v = (v << 6) | (ord(ch) - 0x20)
+    payload = (bytes([12]) + v.to_bytes(6, 'big') + bytes([7])
+               + encode_basic_report(10.0, 20.0, 1000, 300.0))
+    node = adsc.parse(payload)
+    tags = {t['tag']: t for t in node.data['tags']}
+    assert tags[12]['flight_id'] == 'UAL1234'
+    assert node.data['flight_id'] == 'UAL1234'
+    # and it feeds position info (acars.c:130-139 equivalence)
+    from dumphfdl_tpu.protocol.position import _extract_from_adsc
+    info = _extract_from_adsc(node)
+    assert info is not None and info.flight_id == 'UAL1234'

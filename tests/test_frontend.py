@@ -34,7 +34,7 @@ def test_tone_lands_at_dc():
     fs = 250_000
     center = 10_000_000
     chan = 10_060_000     # 60 kHz above center
-    cz = frontend.Channelizer(fs, center, [chan])
+    cz = frontend.Channelizer(fs, center, [chan], out_chunk=1024)
     f_tone = (chan + C.SSB_CARRIER_OFFSET_HZ) - center   # Hz in baseband
     n = fs  # 1 s
     t = np.arange(n) / fs
@@ -55,7 +55,7 @@ def test_tone_rejected_out_of_band():
     fs = 250_000
     center = 10_000_000
     chan = 10_060_000
-    cz = frontend.Channelizer(fs, center, [chan])
+    cz = frontend.Channelizer(fs, center, [chan], out_chunk=1024)
     # a tone 20 kHz away from the channel must be strongly attenuated
     f_tone = (chan + C.SSB_CARRIER_OFFSET_HZ + 20_000) - center
     t = np.arange(fs // 2) / fs

@@ -293,3 +293,69 @@ def test_miam_in_acars_tree():
     assert node.data['label'] == 'MA'
     assert node.next is not None and node.next.json_key == "miam"
     assert node.next.data['frame_type'] == 'Single Transfer'
+
+
+def test_miam_core_body_text_payload():
+    """Deflated printable payload is decompressed and shown as text."""
+    import zlib
+    from dumphfdl_tpu.protocol import miam
+    payload = zlib.compress(b'WX REPORT KSFO 12009KT 10SM FEW200')
+    body = b'T' + b'1' + b'0' + payload
+    node = miam.parse('MA', body.decode('latin-1'), body)
+    core = node.data['core']
+    assert core['app'] == 'text'
+    assert 'WX REPORT KSFO' in core['app_text']
+    lines = []
+    node.text_formatter(node, lines, 0)
+    assert any('WX REPORT KSFO' in ln for ln in lines)
+
+
+def test_miam_core_embedded_acars_recursion():
+    """A deflated embedded ACARS message grows a recursive acars child."""
+    import zlib
+    from dumphfdl_tpu.protocol import miam
+    from dumphfdl_tpu.protocol.runtime import ProtocolContext
+    ctx = ProtocolContext()
+    inner = (b'\x01' + b'2' + b'.HFDLTU' + b'\x15' + b'H1' + b'4'
+             + b'\x02' + b'M02A' + b'AF0002' + b'INNER PAYLOAD' + b'\x03')
+    body = b'T' + b'1' + b'0' + zlib.compress(inner)
+    node = miam.parse('MA', body.decode('latin-1'), body,
+                      msg_dir='air2gnd', ctx=ctx)
+    core = node.data['core']
+    assert core['app'] == 'ACARS message'
+    assert node.next is not None and node.next.json_key == 'acars'
+    assert node.next.data['label'] == 'H1'
+    assert 'INNER PAYLOAD' in node.next.data['text']
+
+
+def test_miam_core_base85_armored():
+    """base85-armored deflate body is unarmored, inflated, classified."""
+    import base64
+    import zlib
+    from dumphfdl_tpu.protocol import miam
+    blob = zlib.compress(b'ARMORED APPLICATION DATA 1234')
+    text = 'T10' + base64.b85encode(blob).decode()
+    node = miam.parse('MA', text, text.encode('latin-1'))
+    core = node.data['core']
+    assert 'armored' in core['compression']
+    assert core['app'] == 'text'
+    assert 'ARMORED APPLICATION DATA' in core['app_text']
+
+
+def test_prettify_xml_in_acars_text():
+    """--prettify-xml: XML ACARS payloads render indented (main.c:305)."""
+    from dumphfdl_tpu.protocol import acars as acars_mod
+    from dumphfdl_tpu.protocol.runtime import ProtocolContext, ProtocolOptions
+    xml = '<ohma><msg id="1"><val>7</val></msg></ohma>'
+    buf = (b'\x01' + b'2' + b'.HFDLTU' + b'\x15' + b'H1' + b'3'
+           + b'\x02' + b'M03A' + b'AF0003' + xml.encode() + b'\x03')
+    for pretty in (False, True):
+        ctx = ProtocolContext(options=ProtocolOptions(prettify_xml=pretty))
+        node = acars_mod.parse(buf, 'downlink', None, ctx)
+        lines = []
+        node.text_formatter(node, lines, 0)
+        nested = any(ln.strip() == '<val>7</val>' for ln in lines)
+        assert nested == pretty, lines
+    # malformed XML passes through unchanged
+    assert acars_mod.prettify_xml('<unclosed') == '<unclosed'
+    assert acars_mod.prettify_xml('plain text') == 'plain text'

@@ -8,7 +8,7 @@ place (see refnative.py) and compare them against dumphfdl_tpu:
   - FIR design (firdes_bandpass_c)  float tolerance
   - fastddc overlap-&-scrap geometry (field mapping incl. pre/post split)
   - the FULL per-channel channelizer stream (multiply+shift+iFFT+scrap+
-    decimating shift addition) vs Channelizer._channelize_blocks
+    decimating shift addition) vs the bin-window gather channelizer
   - Viterbi K=7 R=1/2 (Phil Karn port) vs ops/fec.py, clean and noisy
   - descrambler msequence: both liquid parameterizations of
     hfdl.c:336-346 as independent dual-convention LFSR models
@@ -190,9 +190,7 @@ def test_channelizer_stream_parity(ref):
                           samples[:used]])
     frames = np.lib.stride_tricks.sliding_window_view(
         buf, geo.fft_size)[::geo.input_size][:nblocks]
-    out, _ = ch._channelize_blocks(
-        jnp.asarray(np.ascontiguousarray(frames)),
-        jnp.zeros(1, jnp.float32), ch._kernels_fft)
+    out, _ = ch.channelize_frames(np.ascontiguousarray(frames))
     mine = np.asarray(jax.device_get(out))[0]
 
     n = min(len(ref_out), mine.shape[0])
