@@ -70,7 +70,11 @@ from dumphfdl_tpu.dsp.channel import ChannelBank
 from dumphfdl_tpu.utils.prefetch import device_prefetch
 
 num_channels = int(os.environ.get('BENCH_CHANNELS', '128'))
-block = 5400 * 2
+# 1 s blocks -- the same (128, 5400) demod-step geometry the e2e child
+# runs, so both children share one compiled program (the 2 s blocks of
+# r01/r02 compiled a second mega-kernel variant, which could blow the
+# child timeout when the persistent cache was cold -- VERDICT r2 #3)
+block = 5400
 bank = ChannelBank(num_channels)
 rng = np.random.default_rng(0)
 # distinct blocks, streamed like the real-time path: int16-packed upload
@@ -82,7 +86,7 @@ t0 = time.time()
 bank.process(next(iter(device_prefetch([blocks[0]]))))     # compile
 print(f'# compile+first block: {time.time()-t0:.1f}s', file=sys.stderr, flush=True)
 bank.process(next(iter(device_prefetch([blocks[1]]))))     # warm
-n = 12
+n = 24
 stream = (blocks[i % len(blocks)] for i in range(n))
 t0 = time.time()
 for xd in device_prefetch(stream):
@@ -103,11 +107,12 @@ from dumphfdl_tpu.io.outputs import OutputManager, OutputSpec
 from dumphfdl_tpu.protocol.runtime import ProtocolContext, ProtocolOptions
 from dumphfdl_tpu.protocol.enrichment import AcCache, SysTable
 
-FS = int(os.environ.get('BENCH_E2E_FS', '1728000'))        # 320 x 5400
-NCH = int(os.environ.get('BENCH_E2E_CHANNELS', '128'))
-PASSES = int(os.environ.get('BENCH_E2E_PASSES', '3'))
+FS = int(os.environ.get('BENCH_E2E_FS', '2160000'))        # 400 x 5400
+NCH = int(os.environ.get('BENCH_E2E_CHANNELS', '256'))
+PASSES = int(os.environ.get('BENCH_E2E_PASSES', '4'))
+WARM = int(os.environ.get('BENCH_E2E_WARM', '3'))
 CENTER = 10_000_000
-SPACING = 8_000
+SPACING = max(3000, min(8000, (FS - 20000) // max(NCH, 1)))
 freqs = [CENTER + (i - NCH // 2) * SPACING for i in range(NCH)]
 
 # synthesized capture: real frame traffic on every NCH//16-th channel,
@@ -141,8 +146,10 @@ def one_pass():
         app.handle_events(app.receiver.process(xd))
 
 t0 = time.time()
-one_pass()                                   # compile + warm
-print(f'# compile+first pass: {time.time()-t0:.1f}s, '
+for w in range(WARM):       # compile + warm EVERY program variant: first
+    one_pass()              # executions pay one-time load costs on
+                            # tunneled backends (measured 4x in r3)
+print(f'# compile+{WARM} warm passes: {time.time()-t0:.1f}s, '
       f'{app.frames_decoded} frames', file=sys.stderr, flush=True)
 t0 = time.time()
 for _ in range(PASSES):
@@ -163,8 +170,14 @@ outputs.shutdown()
 '''
 
 
+FAILURES: dict[str, str] = {}     # child label -> why it produced no metric
+
+
 def run_child(code: str, key: str, force_cpu: bool, timeout: float,
               extra_env: dict | None = None) -> dict | None:
+    """Run a measurement child; on failure, record WHY in FAILURES so the
+    bench artifact never silently drops a metric (VERDICT r2 #2).
+    Transient axon-tunnel RPC errors get one retry."""
     env = dict(os.environ)
     repo = os.path.dirname(os.path.abspath(__file__))
     env['PYTHONPATH'] = ':'.join(
@@ -172,49 +185,81 @@ def run_child(code: str, key: str, force_cpu: bool, timeout: float,
     if force_cpu:
         env['BENCH_FORCE_CPU'] = '1'
     env.update(extra_env or {})
-    try:
-        out = subprocess.run([sys.executable, '-c', code],
-                             capture_output=True, text=True, timeout=timeout,
-                             env=env, cwd=repo)
-    except subprocess.TimeoutExpired:
-        return None
-    sys.stderr.write(out.stderr[-2000:])
-    for line in reversed(out.stdout.strip().splitlines()):
+    label = f"{key}:{'cpu' if force_cpu else 'dev'}"
+    deadline = timeout
+    for attempt in range(2):
         try:
-            obj = json.loads(line)
-        except json.JSONDecodeError:
-            continue
-        if key in obj:
-            return obj
+            out = subprocess.run([sys.executable, '-c', code],
+                                 capture_output=True, text=True,
+                                 timeout=deadline, env=env, cwd=repo)
+        except subprocess.TimeoutExpired:
+            FAILURES[label] = f'timeout after {deadline:.0f}s'
+            return None
+        sys.stderr.write(out.stderr[-2000:])
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if key in obj:
+                FAILURES.pop(label, None)
+                return obj
+        tail = (out.stderr.strip().splitlines() or ['no output'])[-1]
+        FAILURES[label] = f'exit {out.returncode}: {tail[-200:]}'
+        transient = ('INTERNAL' in out.stderr or 'UNAVAILABLE' in out.stderr
+                     or 'remote_compile' in out.stderr)
+        if not transient or attempt:
+            return None
     return None
 
 
 def main() -> int:
-    e2e = run_child(_E2E_CHILD, 'e2e_rt_channels', force_cpu=False,
-                    timeout=540)
-    e2e_fallback = ''
-    if e2e is None:
-        e2e = run_child(_E2E_CHILD, 'e2e_rt_channels', force_cpu=True,
-                        timeout=420,
-                        extra_env={'BENCH_E2E_CHANNELS': '32',
-                                   'BENCH_E2E_PASSES': '1'})
-        e2e_fallback = ', accelerator unavailable -> CPU fallback'
+    # max-real-time-channels search (VERDICT r2 #1): measure the FULL
+    # pipeline at increasing channel counts at 2.16 Msps; the headline is
+    # the largest configuration that is MEASURED real-time (rt >= 1.0),
+    # never an extrapolation from a sub-real-time run.
+    search = [int(s) for s in os.environ.get(
+        'BENCH_SEARCH', '256,512,1024').split(',')]
+    points = []
+    for nch in search:
+        r = run_child(_E2E_CHILD, 'e2e_rt_channels', force_cpu=False,
+                      timeout=540,
+                      extra_env={'BENCH_E2E_CHANNELS': str(nch)})
+        if r is None:
+            break
+        points.append(r)
+        if r['rt_factor'] < 1.0:
+            break
 
-    demod = run_child(_DEMOD_CHILD, 'chan_sps', force_cpu=False, timeout=420)
+    e2e_fallback = ''
+    if not points:
+        r = run_child(_E2E_CHILD, 'e2e_rt_channels', force_cpu=True,
+                      timeout=420,
+                      extra_env={'BENCH_E2E_CHANNELS': '32',
+                                 'BENCH_E2E_PASSES': '1',
+                                 'BENCH_E2E_WARM': '1'})
+        if r is not None:
+            points.append(r)
+            e2e_fallback = ', accelerator unavailable -> CPU fallback'
+
+    demod = run_child(_DEMOD_CHILD, 'chan_sps', force_cpu=False, timeout=480)
     if demod is None:
         demod = run_child(_DEMOD_CHILD, 'chan_sps', force_cpu=True,
                           timeout=300)
 
-    if e2e is None and demod is None:
+    if not points and demod is None:
         print(json.dumps({'metric': 'bench failed', 'value': 0,
-                          'unit': 'channels', 'vs_baseline': 0.0}))
+                          'unit': 'channels', 'vs_baseline': 0.0,
+                          'failures': FAILURES}))
         return 0
 
     extras = {}
+    if FAILURES:
+        extras['failures'] = dict(FAILURES)
     if demod is not None:
         extras['demod_only_channels'] = round(demod['chan_sps'] / 5400.0, 1)
         extras['demod_batch'] = demod['channels']
-    if e2e is None:
+    if not points:
         # fall back to the demod-only headline (r01 semantics)
         channels_rt = demod['chan_sps'] / 5400.0
         print(json.dumps({
@@ -228,18 +273,36 @@ def main() -> int:
         }))
         return 0
 
-    extras['wideband_msps'] = round(e2e['wideband_sps'] / 1e6, 3)
-    extras['rt_factor'] = round(e2e['rt_factor'], 2)
-    extras['frames_decoded'] = e2e['frames_decoded']
-    extras['frames_expected'] = e2e['frames_expected']
-    value = round(e2e['e2e_rt_channels'], 1)
+    extras['search'] = [{'channels': p['channels'],
+                         'rt_factor': round(p['rt_factor'], 2),
+                         'msps': round(p['wideband_sps']
+                                       / p['rt_factor'] / 1e6, 3)}
+                        for p in points]
+    realtime = [p for p in points if p['rt_factor'] >= 1.0]
+    if realtime:
+        best = max(realtime, key=lambda p: p['channels'])
+        value = best['channels']
+        headline = ('max MEASURED real-time HFDL channels, FULL pipeline: '
+                    'wideband CS16 capture -> upload -> channelizer -> '
+                    'demod -> Viterbi -> protocol -> text output '
+                    f"(1 {best['platform']} device, rt_factor "
+                    f"{best['rt_factor']:.2f} at {best['channels']} ch @ "
+                    f"{best['wideband_sps']/best['rt_factor']/1e6:.3f} Msps"
+                    f'{e2e_fallback})')
+    else:
+        best = points[-1]
+        value = round(best['channels'] * best['rt_factor'], 1)
+        headline = ('real-time HFDL channel equivalent, FULL pipeline, '
+                    f"NOT real-time (rt_factor {best['rt_factor']:.2f} at "
+                    f"{best['channels']} ch @ "
+                    f"{best['wideband_sps']/best['rt_factor']/1e6:.3f} Msps"
+                    f'{e2e_fallback})')
+    extras['wideband_msps'] = round(best['wideband_sps'] / 1e6, 3)
+    extras['rt_factor'] = round(best['rt_factor'], 2)
+    extras['frames_decoded'] = best['frames_decoded']
+    extras['frames_expected'] = best['frames_expected']
     print(json.dumps({
-        'metric': ('real-time HFDL channels, FULL pipeline: wideband CS16 '
-                   'capture -> upload -> channelizer -> demod -> Viterbi -> '
-                   f"protocol -> text output (1 {e2e['platform']} device, "
-                   f"{e2e['channels']} channels @ "
-                   f"{e2e['wideband_sps']/e2e['rt_factor']/1e6:.3f} Msps"
-                   f'{e2e_fallback})'),
+        'metric': headline,
         'value': value,
         'unit': 'channels',
         'vs_baseline': round(value / BASELINE_CHANNELS, 2),

@@ -83,9 +83,19 @@ def pdu_bytes_from_bits(bits: np.ndarray) -> list[bytes]:
 
 
 def decode_frames(data_symbols: np.ndarray, bitmask: np.ndarray, mode: int) -> list[bytes]:
-    """Convenience host wrapper: symbols -> PDU octet strings."""
+    """Convenience host wrapper: symbols -> PDU octet strings.
+
+    The batch axis is padded to a power of two so live traffic with
+    varying per-block event counts hits a bounded set of compiled shapes
+    (<= 8 modes x log2(batch) sizes)."""
     from ..utils.xfer import device_get, device_put_safe
-    bits = decode_frame_batch(
-        device_put_safe(np.asarray(data_symbols, np.complex64)),
-        device_put_safe(np.asarray(bitmask, np.int32).reshape(-1, 1)), mode)
-    return pdu_bytes_from_bits(device_get(bits))
+    syms = np.asarray(data_symbols, np.complex64)
+    n = syms.shape[0]
+    b = 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
+    syms_p = np.zeros((b, syms.shape[1]), np.complex64)
+    syms_p[:n] = syms
+    mask_p = np.zeros((b, 1), np.int32)
+    mask_p[:n, 0] = np.asarray(bitmask).reshape(-1)
+    bits = decode_frame_batch(device_put_safe(syms_p),
+                              device_put_safe(mask_p), mode)
+    return pdu_bytes_from_bits(device_get(bits)[:n])

@@ -112,7 +112,8 @@ def _scatter_frames(framebuf: jax.Array, outs: TrackerOutputs) -> jax.Array:
         .set(outs.sym.ravel(), mode='drop')
 
 
-_GATHER_BATCH = 32
+_GATHER_BATCH_MIN = 32      # smallest padded gather batch
+_GATHER_BATCH_MAX = 2048    # largest single dispatch (2 events x 1024 ch)
 
 
 @jax.jit
@@ -174,6 +175,15 @@ class ChannelBank:
     mesh: object = None            # jax.sharding.Mesh with a 'chan' axis
     mesh_axes: tuple = ('chan',)   # mesh axes the channel dim shards over
     auto_shard: bool = True        # shard over local devices when >1
+    # pipeline_events=True defers event collection by ONE block: process()
+    # returns the PREVIOUS block's events, so the event-table readback and
+    # backend decode of block N-1 overlap block N's device compute instead
+    # of serializing after it (the readback is the only sync point in the
+    # streaming loop).  Callers must then drain_events() at end of stream.
+    # Safe while blocks are shorter than one frame (enforced below): the
+    # deferred gather reads a (parity) frame buffer that cannot be
+    # rewritten for >= 2 frame lengths.
+    pipeline_events: bool = False
     agc_state: AgcState = None
     tracker_state: TrackerState = None
     framebuf: jax.Array = None
@@ -229,6 +239,19 @@ class ChannelBank:
                 x = device_put_safe(samples)
         num_steps = int(x.shape[1] // C.SPS)   # x is the raw block; the
         # carried HALO tail is prepended inside channel_step
+        limit = (C.SINGLE_SLOT_FRAME_LEN if self.pipeline_events
+                 else 2 * C.SINGLE_SLOT_FRAME_LEN)
+        if num_steps >= limit:
+            # two same-parity frames could complete inside the collection
+            # window and collide in the (C, 2, S) frame buffers /
+            # K_EVENTS=2 table (window = 1 block, or 2 when event
+            # collection is pipelined one block behind)
+            raise ValueError(
+                f'block of {x.shape[1]} samples ({num_steps} symbols) '
+                f'violates the frame-parity invariant: must be < '
+                f'{limit} symbols ({limit * C.SPS} samples'
+                f'{", pipelined events" if self.pipeline_events else ""}); '
+                f'split the stream into smaller blocks')
         if self.dumps is not None:       # --datadumps debug taps
             self.dumps.write('chan_out', device_get(x))
             _, y_dbg, lvl_dbg = agc_block(self.agc_state, x)
@@ -250,58 +273,67 @@ class ChannelBank:
             self.dumps.write('costas_dphi', taps[:, :, 0].T)
             self.dumps.write('costas_err', taps[:, :, 1].T)
             self.dumps.write('symsync_tau', taps[:, :, 2].T)
-        return self._collect_events(ev_table)
+        self._last_ev_table = ev_table    # kept for soak/replay tooling
+        if not self.pipeline_events:
+            return self._collect_events(ev_table)
+        prev = getattr(self, '_pending_ev', None)
+        self._pending_ev = ev_table
+        return self._collect_events(prev) if prev is not None else []
+
+    def drain_events(self) -> list[FrameEvent]:
+        """Collect the deferred block's events (pipeline_events mode)."""
+        prev = getattr(self, '_pending_ev', None)
+        self._pending_ev = None
+        return self._collect_events(prev) if prev is not None else []
 
     def _collect_events(self, ev_table) -> list[FrameEvent]:
         """Decode completed frames from the compacted event table.
 
-        One small (C, K*F) float32 transfer per block; frame symbol data
-        is gathered on-device in fixed-size batches only when events
-        actually completed."""
+        One small (C, K*F) float32 transfer per block; when events
+        completed, ONE padded on-device gather per block fetches every
+        frame's symbols (batch quantized to powers of two so the set of
+        compiled shapes stays bounded)."""
         table = device_get(ev_table).reshape(self._c, K_EVENTS, EV_FIELDS)
         valid = table[:, :, 0] > 0.5
         valid[self.num_channels:] = False      # padded dummy channels
         if not valid.any():
             return []
         chans, slots = np.nonzero(valid)
-        events: list[FrameEvent] = []
-        gather_ch, gather_parity = [], []
-        for ch, sl in zip(chans, slots):
-            f = table[ch, sl]
-            events.append(FrameEvent(
-                channel=int(ch), mode=int(f[1]),
-                bitmask=bool(f[2] > 0.5),
-                freq_err_hz=float(f[4]),
-                rssi=float(f[5]),
-                noise_floor=float(f[6]),
-                train_bad=int(f[7]),
-                train_total=int(f[8]),
-                start_symbol=int(f[9]),
-            ))
-            gather_ch.append(int(ch))
-            gather_parity.append(int(f[3]))
-        # gather frame symbols on-device in a fixed-size padded batch
-        batch = _GATHER_BATCH
-        frames = np.zeros((len(events), C.DATA_SYMBOLS_MAX), np.complex64)
-        for off in range(0, len(events), batch):
-            ch_pad = (gather_ch[off:off + batch] + [0] * batch)[:batch]
-            pa_pad = (gather_parity[off:off + batch] + [0] * batch)[:batch]
+        f = table[chans, slots]                # (n, EV_FIELDS), vectorized
+        n_ev = len(chans)
+        modes = f[:, 1].astype(np.int64)
+        bitmasks = f[:, 2] > 0.5
+        parities = f[:, 3].astype(np.int32)
+        events = [FrameEvent(
+            channel=int(chans[i]), mode=int(modes[i]),
+            bitmask=bool(bitmasks[i]),
+            freq_err_hz=float(f[i, 4]),
+            rssi=float(f[i, 5]),
+            noise_floor=float(f[i, 6]),
+            train_bad=int(f[i, 7]),
+            train_total=int(f[i, 8]),
+            start_symbol=int(f[i, 9]),
+        ) for i in range(n_ev)]
+        # one padded on-device gather per block (chunked only past the cap)
+        frames = np.empty((n_ev, C.DATA_SYMBOLS_MAX), np.complex64)
+        for off in range(0, n_ev, _GATHER_BATCH_MAX):
+            n = min(_GATHER_BATCH_MAX, n_ev - off)
+            batch = max(_GATHER_BATCH_MIN, 1 << int(np.ceil(np.log2(n))))
+            ch_pad = np.zeros((batch, 1), np.int32)
+            pa_pad = np.zeros((batch, 1), np.int32)
+            ch_pad[:n, 0] = chans[off:off + n]
+            pa_pad[:n, 0] = parities[off:off + n]
             flat = device_get(_gather_frames(
-                self.framebuf,
-                device_put_safe(np.asarray(ch_pad, np.int32).reshape(batch, 1)),
-                device_put_safe(np.asarray(pa_pad, np.int32).reshape(batch, 1))))
+                self.framebuf, device_put_safe(ch_pad),
+                device_put_safe(pa_pad)))
             ri = flat.reshape(batch, C.DATA_SYMBOLS_MAX, 2)
-            n = min(batch, len(events) - off)
             frames[off:off + n] = ri[:n, :, 0] + 1j * ri[:n, :, 1]
-        # group by mode for batched backend decode
-        per_mode: dict[int, list[int]] = {}
-        for i, ev in enumerate(events):
-            per_mode.setdefault(ev.mode, []).append(i)
-        for mode, idxs in per_mode.items():
+        # group by mode for batched backend decode (<= 8 static shapes)
+        for mode in np.unique(modes):
+            idxs = np.nonzero(modes == mode)[0]
             nsym = C.MODES[mode].num_data_symbols
-            syms = np.stack([frames[i][:nsym] for i in idxs])
-            masks = np.asarray([events[i].bitmask for i in idxs])
-            pdus = backend.decode_frames(syms, masks, mode)
+            pdus = backend.decode_frames(frames[idxs, :nsym],
+                                         bitmasks[idxs], int(mode))
             for i, pdu in zip(idxs, pdus):
                 events[i] = events[i]._replace(pdu=pdu)
         return events

@@ -264,11 +264,19 @@ class Channelizer:
             max(1, budget // per_frame))))
 
         from ..utils.xfer import czeros as _czeros
-        # wideband ring: fits the largest batch window + a big upload
+        # wideband ring: fits the largest batch window + a big upload.
+        # ALL ring cursors are carried ON DEVICE as (1, 1) i32 scalars the
+        # host never reads back: every jitted step advances its own cursor,
+        # so the streaming path needs zero per-call index uploads (each
+        # host->device put is a round trip on tunneled interconnects --
+        # they, not compute, dominated the r2 bench's real-time deficit).
+        # The host mirrors fill counts as plain ints for control flow only.
         self._rw = 1 << int(np.ceil(np.log2(
             geo.overlap_length + (self._max_frames + 8) * geo.input_size + 1)))
         self._wb_ring = _czeros((self._rw,))
-        self._wb_start = 0             # ring index of the current frame base
+        self._wb_wcur = device_put_safe(
+            np.asarray([[geo.overlap_length]], np.int32))  # after seeded tail
+        self._wb_rcur = device_put_safe(np.asarray([[0]], np.int32))
         self._wb_fill = geo.overlap_length   # pre-seeded overlap-save tail
         self._mixer_phase = jnp.zeros(self.rows, dtype=jnp.float32)
 
@@ -282,6 +290,7 @@ class Channelizer:
             + (self._max_frames + 2) * geo.post_input_size + 64
         self._r1 = 1 << int(np.ceil(np.log2(need)))
         self._fs1_ring = _czeros((self.rows, self._r1))
+        self._fs1_wcur = device_put_safe(np.asarray([[0]], np.int32))
         self._fs1_start = 0            # ring index of global sample _ring_global_start
         self._fs1_fill = 0             # valid samples in the ring
         self._ring_global_start = 0    # global fs1-sample index at _fs1_start
@@ -290,10 +299,12 @@ class Channelizer:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _wb_append(self, ring: jax.Array, x: jax.Array,
-                   wpos: jax.Array) -> jax.Array:
-        """Modular scatter of x at ring position wpos[0,0]."""
+                   wpos: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Modular scatter of x at the device-carried write cursor;
+        returns (ring', advanced cursor) -- no host index traffic."""
         cols = (wpos[0, 0] + jnp.arange(x.shape[0])) % ring.shape[0]
-        return ring.at[cols].set(x.astype(ring.dtype))
+        return (ring.at[cols].set(x.astype(ring.dtype)),
+                (wpos + x.shape[0]) % ring.shape[0])
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _channelize(self, ring: jax.Array, start: jax.Array, n_frames: int,
@@ -316,6 +327,7 @@ class Channelizer:
               + jnp.arange(geo.fft_size, dtype=jnp.int32)[None, :]) \
             % ring.shape[0]
         frames = ring[fr]                                      # (B, N)
+        new_start = (start + n_frames * geo.input_size) % ring.shape[0]
         spec = jnp.fft.fft(frames, axis=1)                     # (B, N)
         g = spec[:, idxtab]                                    # (B, rows, W)
         prod = g * hwin[None, :, :]
@@ -331,27 +343,40 @@ class Channelizer:
         ph = phase0[:, None] + residual[:, None] * jnp.arange(n)[None, :]
         out = out * jnp.exp(-2j * jnp.pi * ph)
         new_phase = jnp.mod(phase0 + residual * n, 1.0)
-        return out.astype(jnp.complex64), new_phase
+        return out.astype(jnp.complex64), new_phase, new_start
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _fs1_append(self, ring: jax.Array, chunk: jax.Array,
-                    wpos: jax.Array) -> jax.Array:
+                    wpos: jax.Array) -> tuple[jax.Array, jax.Array]:
         cols = (wpos[0, 0] + jnp.arange(chunk.shape[1])) % ring.shape[1]
-        return ring.at[:, cols].set(chunk.astype(ring.dtype))
+        return (ring.at[:, cols].set(chunk.astype(ring.dtype)),
+                (wpos + chunk.shape[1]) % ring.shape[1])
 
-    @functools.partial(jax.jit, static_argnums=(0, 5))
+    @functools.partial(jax.jit, static_argnums=(0, 4))
     def _resample(self, ring: jax.Array, bank: jax.Array,
-                  offsets: jax.Array, phases: jax.Array,
-                  n_out: int) -> jax.Array:
-        """Gather-interpolate n_out samples at modular ring positions.
+                  params: jax.Array, n_out: int) -> jax.Array:
+        """Gather-interpolate n_out samples from the fs1 ring.
 
-        offsets/phases arrive as (n_out, 1) int32 (2-D so host->device
-        transfers work on restricted backends); offsets are absolute ring
-        indices of each output's first tap (host handles the wrap)."""
+        Positions are computed ON DEVICE from three scalars packed in
+        `params` (3, 1) f32 -- [frac start, int start, ring read cursor]
+        -- so the per-drain host traffic is one tiny upload instead of
+        two (n_out, 1) index vectors (a = global output position in fs1
+        samples minus the ring's global start, split frac/int for f32
+        exactness; all values are ring-bounded so f32 holds them)."""
         k = self._rs_taps
-        win_idx = (offsets + jnp.arange(k)[None, :]) % ring.shape[1]
+        a_frac = params[0, 0]
+        a_int = params[1, 0].astype(jnp.int32)
+        rstart = params[2, 0].astype(jnp.int32)
+        ratio = jnp.float32(self.ratio)
+        pos = a_frac + jnp.arange(n_out, dtype=jnp.float32) * ratio
+        base = jnp.floor(pos)
+        frac = pos - base
+        rel = jnp.maximum(a_int + base.astype(jnp.int32) - (k // 2 - 1), 0)
+        offsets = (rstart + rel) % ring.shape[1]               # (n_out,)
+        phases = jnp.round(frac * 64).astype(jnp.int32)
+        win_idx = (offsets[:, None] + jnp.arange(k)[None, :]) % ring.shape[1]
         wins = ring[:, win_idx]                                # (C, n_out, K)
-        taps = bank[phases[:, 0]]                              # (n_out, K)
+        taps = bank[phases]                                    # (n_out, K)
         return jnp.einsum('cok,ok->co', wins, taps)
 
     # test/offline helper: channelize explicit (B, fft_size) frames
@@ -381,9 +406,6 @@ class Channelizer:
 
     # ---- streaming API ----
 
-    def _put_idx(self, v: int) -> jax.Array:
-        return device_put_safe(np.asarray([[v]], np.int32))
-
     def process_device(self, samples) -> list[jax.Array]:
         """Feed wideband samples (numpy, or an already-uploaded device
         array from the prefetching ingest path); returns device-resident
@@ -400,20 +422,17 @@ class Channelizer:
                 raise RuntimeError(
                     f'wideband ring overflow: fill {self._wb_fill} + {n} '
                     f'> {self._rw} (upload chunk too large for geometry)')
-            self._wb_ring = self._wb_append(
-                self._wb_ring, x,
-                self._put_idx((self._wb_start + self._wb_fill) % self._rw))
+            self._wb_ring, self._wb_wcur = self._wb_append(
+                self._wb_ring, x, self._wb_wcur)
             self._wb_fill += n
         chunks: list[jax.Array] = []
         while (avail := (self._wb_fill - geo.overlap_length)
                 // geo.input_size) > 0:
             # power-of-two batch (bounded compile-shape set, ADVICE r2 #3)
             n_now = 1 << int(np.log2(min(avail, self._max_frames)))
-            out, self._mixer_phase = self._channelize(
-                self._wb_ring, self._put_idx(self._wb_start), n_now,
+            out, self._mixer_phase, self._wb_rcur = self._channelize(
+                self._wb_ring, self._wb_rcur, n_now,
                 self._mixer_phase, self._idx, self._hwin, self._residual_dev)
-            self._wb_start = (self._wb_start + n_now * geo.input_size) \
-                % self._rw
             self._wb_fill -= n_now * geo.input_size
             self._append_fs1(out)
             chunks.extend(self._drain_resampler())
@@ -424,9 +443,8 @@ class Channelizer:
         n = int(chunk.shape[1])
         if self._fs1_fill + n > self._r1:
             raise RuntimeError('fs1 ring overflow (consumer stalled)')
-        self._fs1_ring = self._fs1_append(
-            self._fs1_ring, chunk,
-            self._put_idx((self._fs1_start + self._fs1_fill) % self._r1))
+        self._fs1_ring, self._fs1_wcur = self._fs1_append(
+            self._fs1_ring, chunk, self._fs1_wcur)
         self._fs1_fill += n
 
     def process(self, samples: np.ndarray) -> np.ndarray:
@@ -438,9 +456,9 @@ class Channelizer:
 
     def _drain_resampler(self) -> list[jax.Array]:
         """Emit as many out_chunk-sized resampled blocks as the fs1 ring
-        allows.  Positions are host-computed (float64 global clock) and
-        uploaded once per block -- one small (out_chunk, 1) transfer per
-        out_chunk/5400 seconds of stream."""
+        allows.  The host computes only the block's float64 start position
+        and uploads it as three scalars; per-sample positions/phases are
+        derived on device (_resample)."""
         chunks: list[jax.Array] = []
         k = self._rs_taps
         while True:
@@ -449,19 +467,14 @@ class Channelizer:
             last_pos = (n0 + self.out_chunk - 1) * self.ratio
             if int(np.floor(last_pos)) + k >= avail:
                 break
-            pos = (n0 + np.arange(self.out_chunk)) * self.ratio \
-                - self._ring_global_start
-            base = np.floor(pos).astype(np.int64)
-            frac = pos - base
-            rel = base - (k // 2 - 1)
-            if rel.min() < 0:
-                rel = np.maximum(rel, 0)   # first-ever block: clamp into ring
-            offsets = (self._fs1_start + rel) % self._r1
-            phases = np.round(frac * 64).astype(np.int32)
+            # a = fs1 position of output n0 relative to the ring start;
+            # ring-bounded, split int/frac so f32 carries it exactly
+            a = n0 * self.ratio - self._ring_global_start
+            a_int = int(np.floor(a))
+            params = np.asarray(
+                [[a - a_int], [a_int], [self._fs1_start]], np.float32)
             chunks.append(self._resample(
-                self._fs1_ring, self._bank,
-                device_put_safe(offsets.astype(np.int32).reshape(-1, 1)),
-                device_put_safe(phases.reshape(-1, 1)),
+                self._fs1_ring, self._bank, device_put_safe(params),
                 self.out_chunk))
             self._out_count += self.out_chunk
             # advance the ring read cursor (pure bookkeeping -- the ring is

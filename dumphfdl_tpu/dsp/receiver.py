@@ -34,7 +34,9 @@ class WidebandReceiver:
     block_len: int = 5400           # 5400-sps samples per demod block
 
     def __post_init__(self):
-        self.bank = ChannelBank(len(self.frequencies))
+        # events pipeline one block behind so the event-table readback of
+        # block N-1 (the loop's only sync point) overlaps block N's compute
+        self.bank = ChannelBank(len(self.frequencies), pipeline_events=True)
         self.channelizer = Channelizer(self.sample_rate, self.centerfreq,
                                        self.frequencies,
                                        out_chunk=self.block_len,
@@ -62,6 +64,7 @@ class WidebandReceiver:
         pad = np.zeros(step, dtype=np.complex64)
         for _ in range(-(-pad_wb // step)):
             events.extend(self.process(pad))
+        events.extend(self.bank.drain_events())
         return events
 
 
@@ -71,7 +74,7 @@ class NarrowbandReceiver:
     block_len: int = 5400
 
     def __post_init__(self):
-        self.bank = ChannelBank(1)
+        self.bank = ChannelBank(1, pipeline_events=True)
         self._buf = np.zeros(0, dtype=np.complex64)
 
     def process(self, samples: np.ndarray) -> list[FrameEvent]:
@@ -86,4 +89,4 @@ class NarrowbandReceiver:
     def flush(self) -> list[FrameEvent]:
         pad = np.zeros((C.DOUBLE_SLOT_FRAME_LEN + 200) * C.SPS,
                        dtype=np.complex64)
-        return self.process(pad)
+        return self.process(pad) + self.bank.drain_events()

@@ -184,6 +184,135 @@ def tracker_init(num_channels: int) -> TrackerState:
     )
 
 
+def framer_fsm_step(*, fr, sw, retries, bitmask, mode, data_arity,
+                    cur_arity, segs_left, eq_cnt, t_idx, data_idx,
+                    freq_err, frame_start, sig, fsc, lvl, dphi, abs_symbol,
+                    train_bad, train_total,
+                    corr_a, corr_m1, m1_match, mode_lookup, as_flag):
+    """Framer FSM transitions (hfdl.c:779-891) -- THE single source.
+
+    Shared verbatim by the lax.scan tracker (this module) and the Pallas
+    mega-kernel (tracker_pallas.py): every op is elementwise on whatever
+    shape the caller uses ((C,) vectors in the scan, (1, CT) row planes
+    in the kernel), so one definition serves both dialects.
+
+    Args the two callers provide differently:
+      mode_lookup: m1_match -> (segment_count, arity) per-mode values
+        (table gather in the scan; one-hot matmul in the kernel).
+      as_flag: bool array -> caller's bitmask dtype (bool / int32).
+
+    Returns (updates dict, flags dict).  Callers additionally handle, per
+    the flags: event emission (frame_done), counter accumulation, and the
+    non-scalar parts of the framer reset (equalizer taps, timing rate).
+    """
+    run_fsm = sw <= 1
+    sw = jnp.where(~run_fsm, sw - 1, sw)
+
+    # --- A1 search ---
+    a1_hit = run_fsm & (fr == A1_SEARCH) \
+        & (jnp.abs(corr_a) > C.CORR_THRESHOLD_A1)
+    bitmask = jnp.where(a1_hit, as_flag(corr_a < 0), bitmask)
+    sig = jnp.where(a1_hit, lvl, sig)
+    fsc = jnp.where(a1_hit, 1.0, fsc)
+    retries = jnp.where(a1_hit, 0, retries)
+    sw = jnp.where(a1_hit, C.A_LEN, sw)
+
+    # --- A2 search ---
+    in_a2 = run_fsm & (fr == A2_SEARCH)
+    a2_hit = in_a2 & (jnp.abs(corr_a) > C.CORR_THRESHOLD_A2)
+    a2_miss = in_a2 & ~a2_hit
+    a2_fail = a2_miss & (retries + 1 >= C.MAX_SEARCH_RETRIES)
+    retries = jnp.where(a2_miss, retries + 1, retries)
+    # Reported frequency error mirrors the reference display exactly
+    # (hfdl.c:812: dphi * HFDL_SYMBOL_RATE / 2pi).  NOTE: in both
+    # decoders dphi is radians per *half*-symbol -- the reference's
+    # costas steps once per symsync output and symsync emits 2 samples
+    # per symbol (hfdl.c:505,709-710), as does our fused step (two
+    # costas_step calls per symbol).  The displayed value is therefore
+    # cfo/2 in BOTH decoders; we keep the formula for output parity
+    # rather than "fixing" it to true CFO.
+    freq_err = jnp.where(a2_hit, dphi * C.SYMBOL_RATE / (2 * np.pi),
+                         freq_err)
+    frame_start = jnp.where(a2_hit, abs_symbol - _TS_CORRECTION_SYMBOLS,
+                            frame_start)
+    sw = jnp.where(a2_hit, C.M1_LEN, sw)
+    retries = jnp.where(a2_hit, 0, retries)
+
+    # --- M1 search ---
+    in_m1 = run_fsm & (fr == M1_SEARCH)
+    m1_hit = in_m1 & (corr_m1 > C.CORR_THRESHOLD_M1)
+    m1_fail = in_m1 & ~m1_hit
+    mode = jnp.where(m1_hit, m1_match, mode)
+    segs_lut, arity_lut = mode_lookup(m1_match)
+    segs_left = jnp.where(m1_hit, segs_lut, segs_left)
+    data_arity = jnp.where(m1_hit, arity_lut, data_arity)
+    sw = jnp.where(m1_hit, C.M2_LEN, sw)
+    retries = jnp.where(m1_hit, 0, retries)
+
+    # --- M2 skip done ---
+    m2_done = run_fsm & (fr == M2_SKIP)
+    sw = jnp.where(m2_done, C.T_LEN, sw)
+    eq_cnt = jnp.where(m2_done, C.EQ_TRAIN_SEQ_CNT, eq_cnt)
+    data_idx = jnp.where(m2_done, 0, data_idx)
+
+    # --- EQ train period complete ---
+    eqt = run_fsm & (fr == EQ_TRAIN)
+    more_train = eqt & (eq_cnt > 1)
+    to_data = eqt & (eq_cnt <= 1) & (segs_left > 0)
+    frame_done = eqt & (eq_cnt <= 1) & (segs_left <= 0)
+    eq_cnt = jnp.where(more_train, eq_cnt - 1, eq_cnt)
+    sw = jnp.where(more_train, C.T_LEN, sw)
+    sw = jnp.where(to_data, C.DATA_FRAME_LEN // 2, sw)
+    t_idx = jnp.where(more_train, 0, t_idx)
+    cur_arity = jnp.where(to_data, data_arity, cur_arity)
+
+    # --- data halves ---
+    d1 = run_fsm & (fr == DATA_1)
+    sw = jnp.where(d1, C.DATA_FRAME_LEN // 2, sw)
+    d2 = run_fsm & (fr == DATA_2)
+    segs_left = jnp.where(d2, segs_left - 1, segs_left)
+    cur_arity = jnp.where(d2, 1, cur_arity)
+    eq_cnt = jnp.where(d2, 1, eq_cnt)
+    sw = jnp.where(d2, C.T_LEN, sw)
+    t_idx = jnp.where(d2, 0, t_idx)
+
+    # --- state transitions ---
+    fr = jnp.where(a1_hit, A2_SEARCH, fr)
+    fr = jnp.where(a2_hit, M1_SEARCH, fr)
+    fr = jnp.where(m1_hit, M2_SKIP, fr)
+    fr = jnp.where(m2_done, EQ_TRAIN, fr)
+    fr = jnp.where(to_data | d1, jnp.where(d1, DATA_2, DATA_1), fr)
+    fr = jnp.where(d2, EQ_TRAIN, fr)
+
+    # event fields snapshot the values the completed frame was decoded
+    # with, BEFORE the framer reset clears them
+    ev_bitmask, ev_train_bad, ev_train_total = bitmask, train_bad, train_total
+
+    # --- framer reset, scalar part (A2/M1 failure or frame completion) ---
+    do_reset = a2_fail | m1_fail | frame_done
+    fr = jnp.where(do_reset, A1_SEARCH, fr)
+    sw = jnp.where(do_reset, 1, sw)
+    retries = jnp.where(do_reset, 0, retries)
+    cur_arity = jnp.where(do_reset, 1, cur_arity)
+    train_bad = jnp.where(do_reset, 0, train_bad)
+    train_total = jnp.where(do_reset, 0, train_total)
+    t_idx = jnp.where(do_reset, 0, t_idx)
+    bitmask = jnp.where(do_reset, jnp.zeros_like(bitmask), bitmask)
+    data_idx = jnp.where(do_reset, 0, data_idx)
+
+    upd = dict(fr=fr, sw=sw, retries=retries, bitmask=bitmask, mode=mode,
+               data_arity=data_arity, cur_arity=cur_arity,
+               segs_left=segs_left, eq_cnt=eq_cnt, t_idx=t_idx,
+               data_idx=data_idx, freq_err=freq_err,
+               frame_start=frame_start, sig=sig, fsc=fsc,
+               train_bad=train_bad, train_total=train_total)
+    flags = dict(a2_hit=a2_hit, m1_hit=m1_hit, m1_fail=m1_fail,
+                 frame_done=frame_done, do_reset=do_reset,
+                 ev_bitmask=ev_bitmask, ev_train_bad=ev_train_bad,
+                 ev_train_total=ev_train_total)
+    return upd, flags
+
+
 def _demod_bits_and_err(y, arity):
     """Hard BPSK bit, and phase error for the active arity.
 
@@ -396,14 +525,11 @@ def tracker_block(state: TrackerState,
         rate = jnp.where(stale, 0.0, rate)
         symbol_cnt = jnp.where(stale, 0, symbol_cnt)
 
-        # ---- framer FSM ----
-        run_fsm = st.symbols_wanted <= 1
-        sw = jnp.where(~run_fsm, st.symbols_wanted - 1, st.symbols_wanted)
-
+        # ---- framer FSM (shared single-source logic) ----
         corr_a = window @ a_bip / C.A_LEN                    # (C,)
         # the 8-way M1 correlation only matters while some channel is in
         # M1 search (127 symbols per frame); skip the matmul otherwise
-        any_m1 = jnp.any(fr_m1_pre := (st.fr_state == M1_SEARCH))
+        any_m1 = jnp.any(st.fr_state == M1_SEARCH)
 
         def with_m1(w):
             corr_m = jnp.abs(w @ m1_bip / C.A_LEN)           # (C, 8)
@@ -416,104 +542,31 @@ def tracker_block(state: TrackerState,
 
         m1_match, corr_m1 = jax.lax.cond(any_m1, with_m1, no_m1, window)
 
-        fr = st.fr_state
-        bitmask = st.bitmask
-        retries = st.search_retries
-        mode = st.mode
-        data_arity = st.data_arity
-        cur_arity = st.cur_arity
-        segs_left = st.data_segments_left
-        eq_cnt = st.eq_train_cnt
-        freq_err = st.freq_err
-        frame_start = st.frame_start_sym
-
-        def set_where(cond, newval, old):
-            return jnp.where(cond, newval, old)
-
-        # --- A1 search ---
-        a1_hit = run_fsm & (fr == A1_SEARCH) & (jnp.abs(corr_a) > C.CORR_THRESHOLD_A1)
-        bitmask = set_where(a1_hit, corr_a < 0, bitmask)
-        sig = set_where(a1_hit, lvl, sig)
-        frame_sym_cnt = set_where(a1_hit, 1.0, frame_sym_cnt)
-        retries = set_where(a1_hit, 0, retries)
-        sw = set_where(a1_hit, C.A_LEN, sw)
-
-        # --- A2 search ---
-        in_a2 = run_fsm & (fr == A2_SEARCH)
-        a2_hit = in_a2 & (jnp.abs(corr_a) > C.CORR_THRESHOLD_A2)
-        a2_miss = in_a2 & ~a2_hit
-        a2_fail = a2_miss & (retries + 1 >= C.MAX_SEARCH_RETRIES)
-        retries = set_where(a2_miss, retries + 1, retries)
-        # Reported frequency error mirrors the reference display exactly
-        # (hfdl.c:812: dphi * HFDL_SYMBOL_RATE / 2pi).  NOTE: in both
-        # decoders dphi is radians per *half*-symbol -- the reference's
-        # costas steps once per symsync output and symsync emits 2 samples
-        # per symbol (hfdl.c:505,709-710), as does our fused step (two
-        # costas_step calls per symbol).  The displayed value is therefore
-        # cfo/2 in BOTH decoders; we keep the formula for output parity
-        # rather than "fixing" it to true CFO.
-        freq_err = set_where(a2_hit, dphi * C.SYMBOL_RATE / (2 * np.pi), freq_err)
-        frame_start = set_where(a2_hit, abs_symbol - _TS_CORRECTION_SYMBOLS, frame_start)
-        sw = set_where(a2_hit, C.M1_LEN, sw)
-        retries = set_where(a2_hit, 0, retries)
-
-        # --- M1 search ---
-        in_m1 = run_fsm & (fr == M1_SEARCH)
-        m1_hit = in_m1 & (corr_m1 > C.CORR_THRESHOLD_M1)
-        m1_fail = in_m1 & ~m1_hit
-        mode = set_where(m1_hit, m1_match, mode)
-        segs_left = set_where(m1_hit, mode_segments[m1_match], segs_left)
-        data_arity = set_where(m1_hit, mode_arity[m1_match], data_arity)
-        sw = set_where(m1_hit, C.M2_LEN, sw)
-        retries = set_where(m1_hit, 0, retries)
-
-        # --- M2 skip done ---
-        m2_done = run_fsm & (fr == M2_SKIP)
-        sw = set_where(m2_done, C.T_LEN, sw)
-        eq_cnt = set_where(m2_done, C.EQ_TRAIN_SEQ_CNT, eq_cnt)
-        data_idx = set_where(m2_done, 0, data_idx)
-
-        # --- EQ train period complete ---
-        eqt = run_fsm & (fr == EQ_TRAIN)
-        more_train = eqt & (eq_cnt > 1)
-        to_data = eqt & (eq_cnt <= 1) & (segs_left > 0)
-        frame_done = eqt & (eq_cnt <= 1) & (segs_left <= 0)
-        eq_cnt = set_where(more_train, eq_cnt - 1, eq_cnt)
-        sw = set_where(more_train, C.T_LEN, sw)
-        sw = set_where(to_data, C.DATA_FRAME_LEN // 2, sw)
-        t_idx = set_where(more_train, 0, t_idx)
-        cur_arity = set_where(to_data, data_arity, cur_arity)
-
-        # --- data halves ---
-        d1 = run_fsm & (fr == DATA_1)
-        sw = set_where(d1, C.DATA_FRAME_LEN // 2, sw)
-        d2 = run_fsm & (fr == DATA_2)
-        segs_left = set_where(d2, segs_left - 1, segs_left)
-        cur_arity = set_where(d2, 1, cur_arity)
-        eq_cnt = set_where(d2, 1, eq_cnt)
-        sw = set_where(d2, C.T_LEN, sw)
-        t_idx = set_where(d2, 0, t_idx)
-
-        # --- state transitions ---
-        fr = set_where(a1_hit, A2_SEARCH, fr)
-        fr = set_where(a2_hit, M1_SEARCH, fr)
-        fr = set_where(m1_hit, M2_SKIP, fr)
-        fr = set_where(m2_done, EQ_TRAIN, fr)
-        fr = set_where(to_data | d1, jnp.where(d1, DATA_2, DATA_1), fr)
-        fr = set_where(d2, EQ_TRAIN, fr)
+        upd, flags = framer_fsm_step(
+            fr=st.fr_state, sw=st.symbols_wanted, retries=st.search_retries,
+            bitmask=st.bitmask, mode=st.mode, data_arity=st.data_arity,
+            cur_arity=st.cur_arity, segs_left=st.data_segments_left,
+            eq_cnt=st.eq_train_cnt, t_idx=t_idx, data_idx=data_idx,
+            freq_err=st.freq_err, frame_start=st.frame_start_sym,
+            sig=sig, fsc=frame_sym_cnt, lvl=lvl, dphi=dphi,
+            abs_symbol=abs_symbol,
+            train_bad=train_bad, train_total=train_total,
+            corr_a=corr_a, corr_m1=corr_m1, m1_match=m1_match,
+            mode_lookup=lambda m: (mode_segments[m], mode_arity[m]),
+            as_flag=lambda b: b)
 
         # --- frame completion event -> carried event table ---
-        emit = frame_done
+        emit = flags['frame_done']
         ev_table, ev_count, counters = carry_aux
         fields = jnp.stack([
-            jnp.ones_like(freq_err),
-            mode.astype(jnp.float32),
-            bitmask.astype(jnp.float32),
+            jnp.ones_like(upd['freq_err']),
+            upd['mode'].astype(jnp.float32),
+            flags['ev_bitmask'].astype(jnp.float32),
             (st.frame_counter & 1).astype(jnp.float32),
-            freq_err, sig, nf,
-            train_bad.astype(jnp.float32),
-            train_total.astype(jnp.float32),
-            frame_start.astype(jnp.float32),
+            upd['freq_err'], upd['sig'], nf,
+            flags['ev_train_bad'].astype(jnp.float32),
+            flags['ev_train_total'].astype(jnp.float32),
+            upd['frame_start'].astype(jnp.float32),
         ], axis=-1)                                   # (C, EV_FIELDS)
         slot = jnp.where(emit, jnp.minimum(ev_count, K_EVENTS), K_EVENTS)
         ev_table = ev_table.at[cidx, slot].set(
@@ -524,22 +577,14 @@ def tracker_block(state: TrackerState,
         # the drop instead of silently swallowing the frame
         ev_dropped = emit & (ev_count > K_EVENTS)
         counters = counters + jnp.stack(
-            [a2_hit, m1_hit, m1_fail, ev_dropped], axis=-1).astype(jnp.float32)
+            [flags['a2_hit'], flags['m1_hit'], flags['m1_fail'], ev_dropped],
+            axis=-1).astype(jnp.float32)
         carry_aux_new = (ev_table, ev_count, counters)
         frame_counter = jnp.where(emit, st.frame_counter + 1, st.frame_counter)
         symbol_cnt = jnp.where(emit, 0, symbol_cnt)
 
-        # --- framer reset (A2/M1 failure or frame completion) ---
-        do_reset = a2_fail | m1_fail | frame_done
-        fr = set_where(do_reset, A1_SEARCH, fr)
-        sw = set_where(do_reset, 1, sw)
-        retries = set_where(do_reset, 0, retries)
-        cur_arity = set_where(do_reset, 1, cur_arity)
-        train_bad = set_where(do_reset, 0, train_bad)
-        train_total = set_where(do_reset, 0, train_total)
-        t_idx = set_where(do_reset, 0, t_idx)
-        bitmask = set_where(do_reset, False, bitmask)
-        data_idx = set_where(do_reset, 0, data_idx)
+        # --- framer reset, non-scalar part (the FSM resets the scalars) ---
+        do_reset = flags['do_reset']
         eq_taps = jnp.where(do_reset[:, None],
                             jnp.asarray(_init_eq_taps())[None, :], eq_taps)
         rate = jnp.where(do_reset, 0.0, rate)  # sampler_reset -> symsync reset
@@ -548,14 +593,18 @@ def tracker_block(state: TrackerState,
             tau=tau_next, rate=rate, out_idx=out_idx,
             phi=phi, dphi=dphi,
             eq_taps=eq_taps, eq_buf=eq_buf, window=window,
-            fr_state=fr, symbols_wanted=sw, search_retries=retries,
-            bitmask=bitmask, mode=mode, data_arity=data_arity,
-            cur_arity=cur_arity, data_segments_left=segs_left,
-            eq_train_cnt=eq_cnt, t_idx=t_idx, data_idx=data_idx,
+            fr_state=upd['fr'], symbols_wanted=upd['sw'],
+            search_retries=upd['retries'],
+            bitmask=upd['bitmask'], mode=upd['mode'],
+            data_arity=upd['data_arity'],
+            cur_arity=upd['cur_arity'], data_segments_left=upd['segs_left'],
+            eq_train_cnt=upd['eq_cnt'], t_idx=upd['t_idx'],
+            data_idx=upd['data_idx'],
             frame_counter=frame_counter, symbol_cnt=symbol_cnt,
-            abs_symbol=abs_symbol, frame_start_sym=frame_start,
-            train_bad=train_bad, train_total=train_total,
-            freq_err=freq_err, signal_level=sig, frame_sym_cnt=frame_sym_cnt,
+            abs_symbol=abs_symbol, frame_start_sym=upd['frame_start'],
+            train_bad=upd['train_bad'], train_total=upd['train_total'],
+            freq_err=upd['freq_err'], signal_level=upd['sig'],
+            frame_sym_cnt=upd['fsc'],
             noise_floor=nf, nf_clk=nf_clk,
         )
         outputs = TrackerOutputs(
@@ -592,14 +641,15 @@ def tracker_block_auto(state: TrackerState, x: jax.Array, level: jax.Array,
                        num_steps: int, debug_taps: bool = False):
     """Implementation dispatch: the Pallas mega-kernel on TPU (the whole
     symbol loop in one VMEM-resident program, tracker_pallas.py), the
-    lax.scan version elsewhere and for --datadumps loop taps.
+    lax.scan version elsewhere and as the parity-test oracle.  Both share
+    the framer FSM definition (framer_fsm_step above) and both emit the
+    --datadumps loop taps.
 
     DUMPHFDL_TRACKER=scan|pallas overrides (pallas off-TPU runs in
     interpret mode -- correct but slow; used by the parity tests)."""
     impl = os.environ.get('DUMPHFDL_TRACKER', 'auto')
-    if not debug_taps and (
-            impl == 'pallas'
+    if (impl == 'pallas'
             or (impl == 'auto' and jax.devices()[0].platform == 'tpu')):
         from .tracker_pallas import tracker_block_pallas
-        return tracker_block_pallas(state, x, level, num_steps)
+        return tracker_block_pallas(state, x, level, num_steps, debug_taps)
     return tracker_block(state, x, level, num_steps, debug_taps)

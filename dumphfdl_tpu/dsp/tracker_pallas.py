@@ -34,10 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from .. import sequences as seq
-from .tracker import (A1_SEARCH, A2_SEARCH, DATA_1, DATA_2, EQ_TRAIN,
-                      EV_FIELDS, HALO_FRONT, K_EVENTS, M1_SEARCH, M2_SKIP,
-                      NPHASES, SLAB_BASE_OFF, TrackerOutputs, TrackerState,
-                      _init_eq_taps, _interp_banks, tracker_init)
+from .tracker import (A1_SEARCH, DATA_1, DATA_2, EQ_TRAIN, EV_FIELDS,
+                      HALO_FRONT, K_EVENTS, M1_SEARCH, NPHASES,
+                      SLAB_BASE_OFF, TrackerOutputs, TrackerState,
+                      _init_eq_taps, _interp_banks, framer_fsm_step,
+                      tracker_init)
 
 CT = 128          # channels per tile (lane dimension)
 ITAPS = 8
@@ -58,11 +59,11 @@ AUX_ROWS = 40
 WIN_ROWS = 128    # rows 0-126 = bit window (oldest first), row 127 = 0
 
 
-def _kernel(num_steps, syms_per_tile,
+def _kernel(num_steps, syms_per_tile, debug_taps,
             xre_ref, xim_ref, lvl_ref, bip_ref, banks_ref, tbl_ref, eqi_ref,
             sf0_ref, si0_ref, eq0_ref, win0_ref,
             symre_ref, symim_ref, outi_ref,
-            sf_ref, si_ref, eq_ref, win_ref, aux_ref):
+            sf_ref, si_ref, eq_ref, win_ref, aux_ref, *tap_refs):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -276,11 +277,7 @@ def _kernel(num_steps, syms_per_tile,
         rate = jnp.where(stale, 0.0, rate)
         symbol_cnt = jnp.where(stale, 0, symbol_cnt)
 
-        # ---- framer FSM ----
-        run_fsm = si_ref[SI_SW:SI_SW + 1, :] <= 1
-        sw = jnp.where(~run_fsm, si_ref[SI_SW:SI_SW + 1, :] - 1,
-                       si_ref[SI_SW:SI_SW + 1, :])
-
+        # ---- framer FSM (shared single-source logic, tracker.py) ----
         corr = jax.lax.dot_general(                              # (16, CT)
             bip_ref[:, :], win,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -291,103 +288,45 @@ def _kernel(num_steps, syms_per_tile,
         m1_match = jnp.min(jnp.where(cm == corr_m1, iota8, 8),
                            axis=0, keepdims=True)
 
-        fr = fr_in
-        retries = si_ref[SI_RETRIES:SI_RETRIES + 1, :]
-        mode = si_ref[SI_MODE:SI_MODE + 1, :]
-        data_arity = si_ref[SI_DARITY:SI_DARITY + 1, :]
-        cur_arity = arity
-        segs_left = si_ref[SI_SEGS:SI_SEGS + 1, :]
-        eq_cnt = si_ref[SI_EQCNT:SI_EQCNT + 1, :]
-        freq_err = row_f(sf_ref, SF_FREQ_ERR)
-        frame_start = si_ref[SI_FSTART:SI_FSTART + 1, :]
+        def mode_lookup(m):
+            """m1_match -> (segment count, arity): one-hot matmul against
+            the per-mode constant table (per-lane gathers are slow)."""
+            oh_m = (iota8 == m).astype(jnp.float32)              # (8, CT)
+            mlook = jax.lax.dot_general(                         # (8, CT)
+                tbl_ref[:, 16:24], oh_m,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return (mlook[0:1, :].astype(jnp.int32),
+                    mlook[1:2, :].astype(jnp.int32))
 
-        # --- A1 search ---
-        a1_hit = run_fsm & (fr == A1_SEARCH) \
-            & (jnp.abs(corr_a) > C.CORR_THRESHOLD_A1)
-        bitmask = jnp.where(a1_hit, (corr_a < 0).astype(jnp.int32), bitmask)
-        sig = jnp.where(a1_hit, lvl, sig)
-        fsc = jnp.where(a1_hit, 1.0, fsc)
-        retries = jnp.where(a1_hit, 0, retries)
-        sw = jnp.where(a1_hit, C.A_LEN, sw)
-
-        # --- A2 search ---
-        in_a2 = run_fsm & (fr == A2_SEARCH)
-        a2_hit = in_a2 & (jnp.abs(corr_a) > C.CORR_THRESHOLD_A2)
-        a2_miss = in_a2 & ~a2_hit
-        a2_fail = a2_miss & (retries + 1 >= C.MAX_SEARCH_RETRIES)
-        retries = jnp.where(a2_miss, retries + 1, retries)
-        # see tracker.py on the deliberate reference-parity cfo/2 report
-        freq_err = jnp.where(a2_hit, dphi * C.SYMBOL_RATE / (2 * np.pi),
-                             freq_err)
-        frame_start = jnp.where(
-            a2_hit, abs_symbol - (C.PREKEY_LEN + 2 * C.A_LEN), frame_start)
-        sw = jnp.where(a2_hit, C.M1_LEN, sw)
-        retries = jnp.where(a2_hit, 0, retries)
-
-        # --- M1 search ---
-        in_m1 = run_fsm & (fr == M1_SEARCH)
-        m1_hit = in_m1 & (corr_m1 > C.CORR_THRESHOLD_M1)
-        m1_fail = in_m1 & ~m1_hit
-        mode = jnp.where(m1_hit, m1_match, mode)
-        oh_m = (iota8 == m1_match).astype(jnp.float32)           # (8, CT)
-        mlook = jax.lax.dot_general(                             # (8, CT)
-            tbl_ref[:, 16:24], oh_m,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        segs_left = jnp.where(m1_hit, mlook[0:1, :].astype(jnp.int32),
-                              segs_left)
-        data_arity = jnp.where(m1_hit, mlook[1:2, :].astype(jnp.int32),
-                               data_arity)
-        sw = jnp.where(m1_hit, C.M2_LEN, sw)
-        retries = jnp.where(m1_hit, 0, retries)
-
-        # --- M2 skip done ---
-        m2_done = run_fsm & (fr == M2_SKIP)
-        sw = jnp.where(m2_done, C.T_LEN, sw)
-        eq_cnt = jnp.where(m2_done, C.EQ_TRAIN_SEQ_CNT, eq_cnt)
-        data_idx = jnp.where(m2_done, 0, data_idx)
-
-        # --- EQ train period complete ---
-        eqt = run_fsm & (fr == EQ_TRAIN)
-        more_train = eqt & (eq_cnt > 1)
-        to_data = eqt & (eq_cnt <= 1) & (segs_left > 0)
-        frame_done = eqt & (eq_cnt <= 1) & (segs_left <= 0)
-        eq_cnt = jnp.where(more_train, eq_cnt - 1, eq_cnt)
-        sw = jnp.where(more_train, C.T_LEN, sw)
-        sw = jnp.where(to_data, C.DATA_FRAME_LEN // 2, sw)
-        t_idx = jnp.where(more_train, 0, t_idx)
-        cur_arity = jnp.where(to_data, data_arity, cur_arity)
-
-        # --- data halves ---
-        d1 = run_fsm & (fr == DATA_1)
-        sw = jnp.where(d1, C.DATA_FRAME_LEN // 2, sw)
-        d2 = run_fsm & (fr == DATA_2)
-        segs_left = jnp.where(d2, segs_left - 1, segs_left)
-        cur_arity = jnp.where(d2, 1, cur_arity)
-        eq_cnt = jnp.where(d2, 1, eq_cnt)
-        sw = jnp.where(d2, C.T_LEN, sw)
-        t_idx = jnp.where(d2, 0, t_idx)
-
-        # --- state transitions ---
-        fr = jnp.where(a1_hit, A2_SEARCH, fr)
-        fr = jnp.where(a2_hit, M1_SEARCH, fr)
-        fr = jnp.where(m1_hit, M2_SKIP, fr)
-        fr = jnp.where(m2_done, EQ_TRAIN, fr)
-        fr = jnp.where(to_data | d1, jnp.where(d1, DATA_2, DATA_1), fr)
-        fr = jnp.where(d2, EQ_TRAIN, fr)
+        upd, flags = framer_fsm_step(
+            fr=fr_in, sw=si_ref[SI_SW:SI_SW + 1, :],
+            retries=si_ref[SI_RETRIES:SI_RETRIES + 1, :],
+            bitmask=bitmask, mode=si_ref[SI_MODE:SI_MODE + 1, :],
+            data_arity=si_ref[SI_DARITY:SI_DARITY + 1, :],
+            cur_arity=arity, segs_left=si_ref[SI_SEGS:SI_SEGS + 1, :],
+            eq_cnt=si_ref[SI_EQCNT:SI_EQCNT + 1, :],
+            t_idx=t_idx, data_idx=data_idx,
+            freq_err=row_f(sf_ref, SF_FREQ_ERR),
+            frame_start=si_ref[SI_FSTART:SI_FSTART + 1, :],
+            sig=sig, fsc=fsc, lvl=lvl, dphi=dphi, abs_symbol=abs_symbol,
+            train_bad=train_bad, train_total=train_total,
+            corr_a=corr_a, corr_m1=corr_m1, m1_match=m1_match,
+            mode_lookup=mode_lookup,
+            as_flag=lambda b: b.astype(jnp.int32))
 
         # --- frame completion event -> event table rows of aux_ref ---
-        emit = frame_done
+        emit = flags['frame_done']
         ev_count = si_ref[SI_EVCNT:SI_EVCNT + 1, :]
         frame_counter = si_ref[SI_FCNT:SI_FCNT + 1, :]
         fields = [jnp.ones((1, CT), jnp.float32),
-                  mode.astype(jnp.float32),
-                  bitmask.astype(jnp.float32),
+                  upd['mode'].astype(jnp.float32),
+                  flags['ev_bitmask'].astype(jnp.float32),
                   (frame_counter & 1).astype(jnp.float32),
-                  freq_err, sig, nf,
-                  train_bad.astype(jnp.float32),
-                  train_total.astype(jnp.float32),
-                  frame_start.astype(jnp.float32)]
+                  upd['freq_err'], upd['sig'], nf,
+                  flags['ev_train_bad'].astype(jnp.float32),
+                  flags['ev_train_total'].astype(jnp.float32),
+                  upd['frame_start'].astype(jnp.float32)]
         slot = jnp.where(emit, jnp.minimum(ev_count, K_EVENTS), K_EVENTS + 1)
         for s in range(K_EVENTS + 1):
             hit_s = slot == s
@@ -397,25 +336,16 @@ def _kernel(num_steps, syms_per_tile,
                                                 aux_ref[r:r + 1, :])
         ev_count = ev_count + emit.astype(jnp.int32)
         ev_dropped = emit & (ev_count > K_EVENTS)
-        for r, flag in ((0, a2_hit), (1, m1_hit), (2, m1_fail),
-                        (3, ev_dropped)):
+        for r, flag in ((0, flags['a2_hit']), (1, flags['m1_hit']),
+                        (2, flags['m1_fail']), (3, ev_dropped)):
             aux_ref[AUX_CNT0 + r:AUX_CNT0 + r + 1, :] = \
                 aux_ref[AUX_CNT0 + r:AUX_CNT0 + r + 1, :] \
                 + flag.astype(jnp.float32)
         frame_counter_new = jnp.where(emit, frame_counter + 1, frame_counter)
         symbol_cnt = jnp.where(emit, 0, symbol_cnt)
 
-        # --- framer reset ---
-        do_reset = a2_fail | m1_fail | frame_done
-        fr = jnp.where(do_reset, A1_SEARCH, fr)
-        sw = jnp.where(do_reset, 1, sw)
-        retries = jnp.where(do_reset, 0, retries)
-        cur_arity = jnp.where(do_reset, 1, cur_arity)
-        train_bad = jnp.where(do_reset, 0, train_bad)
-        train_total = jnp.where(do_reset, 0, train_total)
-        t_idx = jnp.where(do_reset, 0, t_idx)
-        bitmask = jnp.where(do_reset, 0, bitmask)
-        data_idx = jnp.where(do_reset, 0, data_idx)
+        # --- framer reset, non-scalar part (the FSM reset the scalars) ---
+        do_reset = flags['do_reset']
         tre = jnp.where(do_reset, eqi_ref[:, :], tre)
         tim = jnp.where(do_reset, 0.0, tim)
         rate = jnp.where(do_reset, 0.0, rate)
@@ -426,17 +356,21 @@ def _kernel(num_steps, syms_per_tile,
         eq_ref[32:48, :] = bre
         eq_ref[48:64, :] = bim
         for r, v in ((SF_TAU, tau_next), (SF_RATE, rate), (SF_PHI, phi),
-                     (SF_DPHI, dphi), (SF_FREQ_ERR, freq_err), (SF_SIG, sig),
-                     (SF_FSC, fsc), (SF_NF, nf)):
+                     (SF_DPHI, dphi), (SF_FREQ_ERR, upd['freq_err']),
+                     (SF_SIG, upd['sig']),
+                     (SF_FSC, upd['fsc']), (SF_NF, nf)):
             sf_ref[r:r + 1, :] = v
-        for r, v in ((SI_FR, fr), (SI_SW, sw), (SI_RETRIES, retries),
-                     (SI_BITMASK, bitmask), (SI_MODE, mode),
-                     (SI_DARITY, data_arity), (SI_CARITY, cur_arity),
-                     (SI_SEGS, segs_left), (SI_EQCNT, eq_cnt),
-                     (SI_TIDX, t_idx), (SI_DIDX, data_idx),
+        for r, v in ((SI_FR, upd['fr']), (SI_SW, upd['sw']),
+                     (SI_RETRIES, upd['retries']),
+                     (SI_BITMASK, upd['bitmask']), (SI_MODE, upd['mode']),
+                     (SI_DARITY, upd['data_arity']),
+                     (SI_CARITY, upd['cur_arity']),
+                     (SI_SEGS, upd['segs_left']), (SI_EQCNT, upd['eq_cnt']),
+                     (SI_TIDX, upd['t_idx']), (SI_DIDX, upd['data_idx']),
                      (SI_FCNT, frame_counter_new), (SI_SYMCNT, symbol_cnt),
-                     (SI_ABSSYM, abs_symbol), (SI_FSTART, frame_start),
-                     (SI_TBAD, train_bad), (SI_TTOT, train_total),
+                     (SI_ABSSYM, abs_symbol), (SI_FSTART, upd['frame_start']),
+                     (SI_TBAD, upd['train_bad']),
+                     (SI_TTOT, upd['train_total']),
                      (SI_NFCLK, nf_clk), (SI_EVCNT, ev_count),
                      (SI_OUTIDX, si_ref[SI_OUTIDX:SI_OUTIDX + 1, :] + 2)):
             si_ref[r:r + 1, :] = v
@@ -444,6 +378,10 @@ def _kernel(num_steps, syms_per_tile,
         # ---- per-symbol outputs ----
         symre_ref[pl.ds(t_local, 1), :] = yq_re
         symim_ref[pl.ds(t_local, 1), :] = yq_im
+        if debug_taps:       # --datadumps loop internals (dumpfile.c taps)
+            tap_refs[0][pl.ds(t_local, 1), :] = dphi
+            tap_refs[1][pl.ds(t_local, 1), :] = err
+            tap_refs[2][pl.ds(t_local, 1), :] = tau - jnp.floor(tau)
         packed = (in_data.astype(jnp.int32)
                   + 2 * (frame_counter & 1)
                   + 4 * out_data_idx)
@@ -528,28 +466,33 @@ def _const_tables():
 def tracker_block_pallas(state: TrackerState,
                          x: jax.Array,
                          level: jax.Array,
-                         num_steps: int):
-    """Drop-in replacement for tracker.tracker_block (no debug taps).
+                         num_steps: int,
+                         debug_taps: bool = False):
+    """Drop-in replacement for tracker.tracker_block.
 
     Off TPU the kernel runs in Pallas interpret mode (pure-JAX emulation)
     so the CPU test mesh can validate it; the compiled Mosaic path is
-    TPU-only."""
+    TPU-only.  debug_taps additionally emits the per-symbol loop
+    internals (costas dphi / phase error / timing fraction) for
+    --datadumps, matching the scan tracker's taps output."""
     interpret = (bool(int(os.environ.get('DUMPHFDL_PALLAS_INTERPRET', '0')))
                  or jax.devices()[0].platform != 'tpu')
     syms_per_tile = min(int(os.environ.get('DUMPHFDL_PALLAS_SYMS', '512')),
                         num_steps)
     return _tracker_block_pallas(state, x, level, num_steps, syms_per_tile,
-                                 interpret)
+                                 interpret, debug_taps)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('num_steps', 'syms_per_tile', 'interpret'))
+                   static_argnames=('num_steps', 'syms_per_tile', 'interpret',
+                                    'debug_taps'))
 def _tracker_block_pallas(state: TrackerState,
                           x: jax.Array,
                           level: jax.Array,
                           num_steps: int,
                           syms_per_tile: int,
-                          interpret: bool):
+                          interpret: bool,
+                          debug_taps: bool = False):
     from .tracker import HALO
     c = x.shape[0]
     T = x.shape[1]
@@ -602,7 +545,7 @@ def _tracker_block_pallas(state: TrackerState,
     bip, banks, tbl, eqi = _const_tables()
     c_tiles = c_pad // CT
     grid = (c_tiles, t_tiles)
-    kern = functools.partial(_kernel, num_steps, S)
+    kern = functools.partial(_kernel, num_steps, S, debug_taps)
 
     out_shapes = [
         jax.ShapeDtypeStruct((t_tiles * S, c_pad), jnp.float32),   # sym re
@@ -620,7 +563,14 @@ def _tracker_block_pallas(state: TrackerState,
         (rows, CT), lambda i, j: (j, i), memory_space=pltpu.VMEM)
     const = lambda r, l: pl.BlockSpec((r, l), lambda i, j: (0, 0),
                                       memory_space=pltpu.VMEM)
-    (sym_re, sym_im, packed, sf, si, eq, win, aux) = pl.pallas_call(
+    out_specs = [tblock(S), tblock(S), tblock(S),
+                 full(SF_ROWS), full(SI_ROWS), full(EQ_ROWS),
+                 full(WIN_ROWS), full(AUX_ROWS)]
+    if debug_taps:   # 3 extra per-symbol planes: dphi, phase err, tau frac
+        out_shapes += [jax.ShapeDtypeStruct((t_tiles * S, c_pad),
+                                            jnp.float32)] * 3
+        out_specs += [tblock(S)] * 3
+    results = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -635,13 +585,12 @@ def _tracker_block_pallas(state: TrackerState,
             const(16, 128),                       # eq init taps
             full(SF_ROWS), full(SI_ROWS), full(EQ_ROWS), full(WIN_ROWS),
         ],
-        out_specs=[tblock(S), tblock(S), tblock(S),
-                   full(SF_ROWS), full(SI_ROWS), full(EQ_ROWS),
-                   full(WIN_ROWS), full(AUX_ROWS)],
+        out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
     )(xre_t, xim_t, lvl_sym, jnp.asarray(bip), jnp.asarray(banks),
       jnp.asarray(tbl), jnp.asarray(eqi), sf0, si0, eq0, win0)
+    (sym_re, sym_im, packed, sf, si, eq, win, aux) = results[:8]
 
     final = _unpack_state(sf, si, eq, win, c)
     final = final._replace(
@@ -653,6 +602,8 @@ def _tracker_block_pallas(state: TrackerState,
         is_data=(p & 1) != 0,
         data_idx=p >> 2,
         frame_parity=(p >> 1) & 1,
+        taps=(jnp.stack([t[:num_steps, :c] for t in results[8:]], axis=-1)
+              if debug_taps else None),
     )
     ev = aux[:K_EVENTS * EV_FIELDS, :c].T.reshape(c, K_EVENTS * EV_FIELDS)
     counters = aux[AUX_CNT0:AUX_CNT0 + 4, :c].T

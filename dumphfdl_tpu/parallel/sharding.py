@@ -169,7 +169,8 @@ class ShardedWidebandReceiver(WidebandReceiver):
         if self.mesh is None:
             self.mesh = make_mesh()
         self.bank = ChannelBank(len(self.frequencies), mesh=self.mesh,
-                                mesh_axes=('time', 'chan'), auto_shard=False)
+                                mesh_axes=('time', 'chan'), auto_shard=False,
+                                pipeline_events=True)
         c_pad = self.bank._c
         self.channelizer = Channelizer(self.sample_rate, self.centerfreq,
                                        list(self.frequencies),
@@ -185,6 +186,8 @@ class ShardedWidebandReceiver(WidebandReceiver):
         ch._r1 = 1 << int(np.ceil(np.log2(need)))
         ch._fs1_ring = jax.device_put(
             np.zeros((c_pad, ch._r1), np.complex64), shard2d)
+        ch._fs1_wcur = jax.device_put(
+            np.asarray([[0]], np.int32), NamedSharding(self.mesh, P()))
         ch._fs1_start = 0
         ch._fs1_fill = 0
         ch._ring_global_start = 0
@@ -221,6 +224,7 @@ class ShardedWidebandReceiver(WidebandReceiver):
         pad = np.zeros(step, dtype=np.complex64)
         for _ in range(-(-pad_wb // step)):
             events.extend(self.process(pad))
+        events.extend(self.bank.drain_events())
         return events
 
 
@@ -228,17 +232,31 @@ def dryrun_multichip(n_devices: int) -> None:
     """Production-geometry multi-chip dry run: decode a synthesized HFDL
     capture through the time+channel-sharded receiver on an n-device mesh
     and assert the decoded PDUs match the transmitted ones bit-for-bit
-    (not merely finiteness)."""
+    (not merely finiteness).
+
+    Default geometry is production-SHAPED and mid-SIZED (64 channels @
+    432 ksps -- the recommended one-SDR-per-subband operating rate x2,
+    reference README.md:969); DUMPHFDL_DRYRUN_CHANNELS/_FS scale it."""
+    import os
+
     from ..dsp import modulator
 
     mesh = make_mesh(jax.devices()[:n_devices])
-    fs, center = 43_200, 10_000_000
-    chans = [9_990_000, 10_008_000]
+    fs = int(os.environ.get('DUMPHFDL_DRYRUN_FS', '432000'))
+    nch = int(os.environ.get('DUMPHFDL_DRYRUN_CHANNELS', '64'))
+    center = 10_000_000
+    spacing = max(3000, min(8000, (fs - 20000) // nch))
+    chans = [center + (i - nch // 2) * spacing for i in range(nch)]
     rng = np.random.default_rng(7)
-    pdus = [modulator.make_test_mpdu(1, rng, icao=0x3C4D5E),
-            modulator.make_test_mpdu(3, rng, icao=0x10F2A4)]
+    # traffic on 8 channels spread across the band, cycling the
+    # single-slot modes; the rest hunt over noise
+    modes = [1, 3, 0, 2, 1, 3, 0, 2]
+    traffic = list(range(0, nch, max(1, nch // 8)))[:8]
+    pdus = {ci: modulator.make_test_mpdu(modes[k], rng,
+                                         icao=0x3C0000 + ci)
+            for k, ci in enumerate(traffic)}
     wb = modulator.synthesize_wideband_fft(
-        [(pdus[0], 1, chans[0]), (pdus[1], 3, chans[1])],
+        [(pdus[ci], modes[k], chans[ci]) for k, ci in enumerate(traffic)],
         fs=fs, centerfreq=center, snr_db=30.0)
     rx = ShardedWidebandReceiver(fs, center, chans, mesh=mesh)
     events = []
@@ -246,6 +264,14 @@ def dryrun_multichip(n_devices: int) -> None:
     for off in range(0, len(wb), step):
         events.extend(rx.process(wb[off:off + step]))
     events.extend(rx.flush())
-    got = {e.channel: e.pdu for e in events if e.pdu}
-    assert got == {0: pdus[0], 1: pdus[1]}, \
-        f'sharded decode mismatch: got channels {sorted(got)}'
+    got: dict[int, set] = {}
+    for e in events:
+        if e.pdu:
+            got.setdefault(e.channel, set()).add(e.pdu)
+    # every traffic channel must decode its PDU bit-for-bit (noise
+    # channels may occasionally emit false frames; the FCS rejects those
+    # downstream, so they are not an error here)
+    missing = [ci for ci, p in pdus.items() if p not in got.get(ci, set())]
+    assert not missing, (
+        f'sharded decode mismatch: channels {missing} missing their PDU; '
+        f'decoded channels {sorted(got)}')

@@ -33,10 +33,15 @@ N_DEVICES = int(os.environ.get('SCALING_DEVICES', '8'))
 os.environ.setdefault(
     'XLA_FLAGS',
     f'--xla_force_host_platform_device_count={N_DEVICES}')
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# force CPU: the axon environment presets JAX_PLATFORMS and pre-imports
+# jax via sitecustomize, so both the env var and the config API are needed
+os.environ['JAX_PLATFORMS'] = 'cpu'
 
 import numpy as np            # noqa: E402
 import jax                    # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', N_DEVICES)
 
 
 def run_point(n_dev: int, fs_per_dev: int, ch_per_dev: int,

@@ -48,7 +48,8 @@ def main():
     from dumphfdl_tpu.utils.xfer import device_get
 
     FS, NCH = args.fs, args.channels
-    CENTER, SPACING = 10_000_000, 8_000
+    CENTER = 10_000_000
+    SPACING = max(3000, min(8000, (FS - 20000) // max(NCH, 1)))
     freqs = [CENTER + (i - NCH // 2) * SPACING for i in range(NCH)]
     single_slot = [m for m in range(len(C.MODES)) if C.MODES[m].slot == 'S']
     rng = np.random.default_rng(0)

@@ -95,6 +95,26 @@ def test_frame_decode_parity():
     _assert_state_close(st1, st2)
 
 
+def test_debug_taps_parity(monkeypatch):
+    """debug_taps=True emits the same per-symbol loop internals (costas
+    dphi / phase error / timing fraction) from both implementations."""
+    monkeypatch.setenv('DUMPHFDL_PALLAS_SYMS', '32')
+    nch, steps = 2, 64
+    T = steps * 3 + HALO
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((nch, T))
+         + 1j * rng.standard_normal((nch, T))).astype(np.complex64)
+    lvl = np.abs(rng.standard_normal((nch, T)).astype(np.float32)) + 0.5
+    st = tracker_init(nch)
+    _, o1, _, _ = tracker_block(st, jnp.asarray(x), jnp.asarray(lvl),
+                                steps, debug_taps=True)
+    _, o2, _, _ = tracker_block_pallas(st, jnp.asarray(x), jnp.asarray(lvl),
+                                       steps, debug_taps=True)
+    assert o1.taps is not None and o2.taps is not None
+    np.testing.assert_allclose(np.asarray(o1.taps), np.asarray(o2.taps),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_channel_step_dispatch_uses_pallas(monkeypatch):
     """DUMPHFDL_TRACKER=pallas routes channel_step through the kernel and
     still decodes (interpret mode on CPU)."""
