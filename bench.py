@@ -1,18 +1,23 @@
 #!/usr/bin/env python
-"""Benchmark: sustained real-time HFDL capacity on one chip.
+"""Benchmark: max MEASURED real-time HFDL channel capacity on one chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Two measurements run in watchdogged subprocesses:
+Measurements run in watchdogged subprocesses:
 
-1. **Full pipeline** (the headline number, BASELINE config #4): a
-   synthesized wideband CS16 capture with real frame traffic on N
-   channels is decoded through the production path -- raw-width upload,
-   device channelizer (overlap-save FFT, per-channel DDC), fused demod
-   step, frame backend (Viterbi), protocol stack, text formatter, output
-   thread.  Identical code to `dumphfdl-tpu --iq-file`.  The value is
-   real-time channel capacity: num_channels x (capture_duration / wall).
+1. **Max-real-time-channels search** (the headline): the FULL pipeline
+   -- synthesized wideband CS16 capture with real frame traffic, decoded
+   through raw-width upload, device channelizer (overlap-save FFT,
+   bin-window DDC), fused demod step, frame backend (Viterbi), protocol
+   stack, text formatter, output thread; identical code to
+   `dumphfdl-tpu --iq-file` -- is measured at increasing channel counts
+   (256 -> 512 -> 1024) at 2.16 Msps.  The headline value is the largest
+   configuration whose measured rt_factor is >= 1.0 (never an
+   extrapolation from a sub-real-time run; if nothing is real-time the
+   label says NOT real-time explicitly).  Each point runs several warm
+   passes first: on the tunneled axon backend every compiled program's
+   FIRST execution pays a one-time load cost (~4x, measured).
 2. **Demod-only** (continuity with BENCH_r01): channel-samples/s through
    the fused demod step alone on noise input, reported as
    `demod_only_channels`.
@@ -24,8 +29,9 @@ each).  vs_baseline = channels / 12.
 
 Robustness: the experimental axon TPU tunnel wedges on certain RPCs and
 can take minutes to initialize, so each measurement runs in a separate
-subprocess with transfer-safe settings; on failure it reruns on CPU and
-the metric label says so.
+subprocess with transfer-safe settings; children that fail record WHY in
+the artifact's `failures` map, and on total failure the search reruns on
+CPU with the label saying so.
 """
 
 import json
@@ -75,7 +81,7 @@ num_channels = int(os.environ.get('BENCH_CHANNELS', '128'))
 # r01/r02 compiled a second mega-kernel variant, which could blow the
 # child timeout when the persistent cache was cold -- VERDICT r2 #3)
 block = 5400
-bank = ChannelBank(num_channels)
+bank = ChannelBank(num_channels, pipeline_events=True)  # production path
 rng = np.random.default_rng(0)
 # distinct blocks, streamed like the real-time path: int16-packed upload
 # (CS16-equivalent precision) overlapped with compute via prefetch
@@ -215,16 +221,21 @@ def run_child(code: str, key: str, force_cpu: bool, timeout: float,
 
 def main() -> int:
     # max-real-time-channels search (VERDICT r2 #1): measure the FULL
-    # pipeline at increasing channel counts at 2.16 Msps; the headline is
-    # the largest configuration that is MEASURED real-time (rt >= 1.0),
-    # never an extrapolation from a sub-real-time run.
-    search = [int(s) for s in os.environ.get(
-        'BENCH_SEARCH', '256,512,1024').split(',')]
+    # pipeline at increasing channel counts, widening the capture when
+    # the 3 kHz HFDL channel grid no longer fits (1024 ch needs
+    # >= 3.07 MHz of spectrum); the headline is the largest configuration
+    # that is MEASURED real-time (rt >= 1.0), never an extrapolation from
+    # a sub-real-time run.
+    search = [(int(c), int(f)) for c, f in
+              (p.split('@') for p in os.environ.get(
+                  'BENCH_SEARCH',
+                  '256@2160000,512@2160000,1024@3456000').split(','))]
     points = []
-    for nch in search:
+    for nch, fs in search:
         r = run_child(_E2E_CHILD, 'e2e_rt_channels', force_cpu=False,
                       timeout=540,
-                      extra_env={'BENCH_E2E_CHANNELS': str(nch)})
+                      extra_env={'BENCH_E2E_CHANNELS': str(nch),
+                                 'BENCH_E2E_FS': str(fs)})
         if r is None:
             break
         points.append(r)

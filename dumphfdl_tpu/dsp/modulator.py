@@ -205,7 +205,7 @@ def synthesize_wideband(emissions: list[tuple[bytes, int, int]],
         n0 = es / (10 ** (snr_db / 10))
         noise = (rng.standard_normal(n_wb) + 1j * rng.standard_normal(n_wb))
         wb = wb + noise.astype(np.complex64) * np.sqrt(n0 / 2)
-    return wb.astype(np.complex64)
+    return _prevent_clipping(wb.astype(np.complex64))
 
 
 def synthesize_channel_iq(frames: list[tuple[np.ndarray, int]],
@@ -265,4 +265,20 @@ def synthesize_wideband_fft(emissions: list[tuple[bytes, int, int]],
         n0 = es / (10 ** (snr_db / 10))
         noise = (rng.standard_normal(n_wb) + 1j * rng.standard_normal(n_wb))
         wb = wb + noise.astype(np.complex64) * np.sqrt(n0 / 2).astype(np.float32)
+    return _prevent_clipping(wb)
+
+
+def _prevent_clipping(wb: np.ndarray) -> np.ndarray:
+    """Scale a synthesized capture into integer-format full scale.
+
+    Many coherently-starting emissions sum to peaks far above 1.0; the
+    CS16/CU8 serializers clip at full scale, and a clipped multi-carrier
+    capture decodes spurious intermodulation "frames" on quiet channels
+    (observed: 67 FCS-failing junk frames on a 16-emission 256-channel
+    bench capture that peaked at 6.7).  Uniform scaling preserves every
+    per-emission SNR, so decode behavior is unchanged."""
+    peak = max(float(np.abs(wb.real).max(initial=0.0)),
+               float(np.abs(wb.imag).max(initial=0.0)))
+    if peak > 0.95:
+        wb = wb * np.float32(0.95 / peak)
     return wb.astype(np.complex64)

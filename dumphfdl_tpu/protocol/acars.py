@@ -168,6 +168,9 @@ def _parse_body(buf: bytes, msg_dir: str, metadata, ctx) -> ProtoNode:
             from . import miam as miam_mod
             child = miam_mod.parse(data['label'], data['text'], use_raw,
                                    msg_dir=msg_dir, ctx=ctx)
+        if child is None and data['text'].startswith('OHMA'):
+            from . import ohma as ohma_mod
+            child = ohma_mod.parse(data['text'], ctx=ctx)
         if child is not None:
             node.next = child
     return node

@@ -72,15 +72,18 @@ def run_point(n_dev: int, fs_per_dev: int, ch_per_dev: int,
     wb = modulator.synthesize_wideband_fft(emissions, fs=fs,
                                            centerfreq=center, snr_db=30.0)
     sl = rx.frontend.super_len
-    # geometry (fft/overlap) scales with total fs, so the super-block
-    # does too: always measure over >= 4 super-blocks
-    need = max(int(seconds * fs), 4 * sl + sl)
+    # fixed number of measured super-blocks per point so points are
+    # comparable (a time target would give different step counts as the
+    # geometry scales with total fs)
+    n_steps = max(8, int(seconds * fs) // sl)
+    need = (n_steps + 2) * sl
     if len(wb) < need:
         wb = np.concatenate([wb, np.zeros(need - len(wb), np.complex64)])
     wb = wb[:need]
 
-    def chunks():
-        for off in range(0, len(wb) - sl + 1, sl):
+    def chunks(count, off0=0):
+        for k in range(count):
+            off = (off0 + k) * sl
             yield wb[off:off + sl]
 
     def decoupled(it, depth=2):
@@ -98,20 +101,30 @@ def run_point(n_dev: int, fs_per_dev: int, ch_per_dev: int,
                 return
             yield item
 
-    # compile + warm on one super-block
-    warm = next(iter(chunks()))
-    rx.process(warm)
+    # compile + warm on two super-blocks (hits the resampler-drain and
+    # demod-step program variants, not just the frontend step); frames
+    # completing during warm-up still count toward the sanity field
     n_frames = 0
-    t0 = time.time()
-    total = 0
-    for c in decoupled(chunks()):
+    for c in chunks(2):
         n_frames += len([e for e in rx.process(c) if e.pdu])
-        total += len(c)
-    wall = time.time() - t0
+    # best-of-2: the 2-vCPU host shares cores with system noise, so a
+    # single timing can be off by 2-3x; the max is the plumbing number
+    best = 0.0
+    wall = None
+    for rep in range(2):
+        t0 = time.time()
+        total = 0
+        for c in decoupled(chunks(n_steps, off0=2)):
+            n_frames += len([e for e in rx.process(c) if e.pdu])
+            total += len(c)
+        w = time.time() - t0
+        if total / w > best:
+            best, wall = total / w, w
     n_frames += len([e for e in rx.flush() if e.pdu])
     return {
         'devices': n_dev, 'sample_rate': fs, 'channels': nch,
-        'wideband_sps': total / wall, 'wall_s': round(wall, 2),
+        'super_blocks': n_steps,
+        'wideband_sps': best, 'wall_s': round(wall, 2),
         'frames_decoded': n_frames,
     }
 

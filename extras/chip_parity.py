@@ -38,7 +38,7 @@ def tracker_scenario():
     from dumphfdl_tpu.dsp.channel import agc_block, agc_init, matched_filter
     from dumphfdl_tpu.dsp.tracker import HALO, tracker_init
     from dumphfdl_tpu.dsp.tracker_pallas import tracker_block_pallas
-    from dumphfdl_tpu.utils.xfer import czeros, device_get
+    from dumphfdl_tpu.utils.xfer import czeros, device_get, device_put_safe
 
     rng = np.random.default_rng(5)
     pdu = modulator.make_test_mpdu(1, rng, icao=0x3C0001)
@@ -59,7 +59,8 @@ def tracker_scenario():
     evs, counters, sym_sum = [], [], np.zeros(2, np.complex128)
     sym_absmax = np.zeros(2)
     for off in (0, blk):
-        ast, y, lv = agc_block(ast, jnp.asarray(x[:, off:off + blk]))
+        # device_put_safe: direct complex64 uploads wedge the axon tunnel
+        ast, y, lv = agc_block(ast, device_put_safe(x[:, off:off + blk]))
         mf = matched_filter(y)
         mfe = jnp.concatenate([tail, mf], axis=1)
         lve = jnp.concatenate([ltail, lv], axis=1)
@@ -96,7 +97,7 @@ def viterbi_scenario():
 
     rng = np.random.default_rng(11)
     framebits = 1800
-    soft = rng.integers(0, 256, size=(8, 2 * (framebits + 6)),
+    soft = rng.integers(0, 256, size=(8, 2 * framebits),
                         dtype=np.int64).astype(np.uint8)
     bits = device_get(viterbi_decode_pallas(device_put_safe(soft), framebits))
     digests = [hashlib.sha256(np.packbits(row).tobytes()).hexdigest()

@@ -47,11 +47,16 @@ def decode_trial(mode: int, snr_db: float, seed: int):
     hunt = (rng.standard_normal(4500) + 1j * rng.standard_normal(4500)) \
         .astype(np.complex64) * sigma
     iq = np.concatenate([hunt, iq])
-    n = (len(iq) // 3) * 3
     bank = ChannelBank(1, auto_shard=False)
-    events = bank.process(iq[None, :n].astype(np.complex64))
-    pad = np.zeros((1, 3 * C.T_LEN * 6), np.complex64)
-    events += bank.process(pad)
+    blk = 16200
+    events = []
+    x1 = iq[None, :].astype(np.complex64)
+    for off in range(0, x1.shape[1], blk):
+        b = x1[:, off:off + blk]
+        if b.shape[1] < blk:
+            b = np.pad(b, ((0, 0), (0, blk - b.shape[1])))
+        events += bank.process(b)
+    events += bank.process(np.zeros((1, blk), np.complex64))
     for ev in events:
         if ev.pdu == pdu:
             # levels are amplitudes: LEVEL_TO_DB is 20log10 (hfdl.c:591)
@@ -92,10 +97,17 @@ def decode_trials_batched(mode: int, snr_db: float, seeds):
     x = np.zeros((len(seeds), tmax), np.complex64)
     for i, q in enumerate(iqs):
         x[i, :len(q)] = q
-    n = (tmax // 3) * 3
     bank = ChannelBank(len(seeds), auto_shard=False)
-    events = bank.process(x[:, :n])
-    pad = np.zeros((len(seeds), 3 * C.T_LEN * 6), np.complex64)
+    # stream in fixed blocks (state carries across): one giant block
+    # would violate the frame-parity invariant for double-slot modes
+    blk = 16200
+    events = []
+    for off in range(0, tmax, blk):
+        b = x[:, off:off + blk]
+        if b.shape[1] < blk:
+            b = np.pad(b, ((0, 0), (0, blk - b.shape[1])))
+        events += bank.process(b)
+    pad = np.zeros((len(seeds), blk), np.complex64)
     events += bank.process(pad)
     ok = [False] * len(seeds)
     est: list = [None] * len(seeds)

@@ -359,3 +359,43 @@ def test_prettify_xml_in_acars_text():
     # malformed XML passes through unchanged
     assert acars_mod.prettify_xml('<unclosed') == '<unclosed'
     assert acars_mod.prettify_xml('plain text') == 'plain text'
+
+
+def test_ohma_in_acars_tree():
+    """An 'OHMA'+base64(zlib(JSON)) text body grows an OHMA child whose
+    JSON decodes; --prettify-json indents the text rendering."""
+    import base64
+    import json
+    import zlib
+    from dumphfdl_tpu.protocol import acars as acars_mod
+    from dumphfdl_tpu.protocol.runtime import ProtocolContext, ProtocolOptions
+    doc = {'version': 1, 'type': 'engine', 'samples': [1, 2, 3]}
+    body = ('OHMA' + base64.b64encode(
+        zlib.compress(json.dumps(doc).encode())).decode()).encode()
+    buf = (b'\x01' + b'2' + b'.N737MX' + b'\x15' + b'H1' + b'2'
+           + b'\x02' + b'D64A' + b'BA0038' + body + b'\x03')
+    ctx = ProtocolContext()
+    node = acars_mod.parse(buf, 'downlink', None, ctx)
+    assert node is not None and not node.data['err']
+    assert node.next is not None and node.next.json_key == 'ohma'
+    assert node.next.data['ok'] and node.next.data['json'] == doc
+    lines = []
+    node.next.text_formatter(node.next, lines, 0)
+    assert any('OHMA message:' in ln for ln in lines)
+    assert any('"engine"' in ln for ln in lines)
+    # prettified rendering spans multiple lines
+    ctx2 = ProtocolContext(options=ProtocolOptions(prettify_json=True))
+    node2 = acars_mod.parse(buf, 'downlink', None, ctx2)
+    lines2 = []
+    node2.next.text_formatter(node2.next, lines2, 0)
+    assert len(lines2) > len(lines)
+
+
+def test_ohma_bad_payload_degrades():
+    from dumphfdl_tpu.protocol import ohma
+    node = ohma.parse('OHMAnot-base64-zlib!!')
+    assert node is not None and not node.data['ok']
+    lines = []
+    node.text_formatter(node, lines, 0)
+    assert any('Unparseable OHMA' in ln for ln in lines)
+    assert ohma.parse('plain text') is None

@@ -22,21 +22,30 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
                        / 'extras'))
 from sensitivity import decode_trial, sweep  # noqa: E402
 
-# (mode, SNR dB that must decode reliably): 300 bps BPSK r=1/4 is the
-# sensitivity champion (100% at 0 dB Es/N0 measured); 1800 bps 8PSK
-# r=1/2 double slot the least robust (drops below 100% at ~4 dB).
+# (mode, SNR dB that must decode reliably), ALL 8 modes: 300 bps BPSK
+# r=1/4 is the sensitivity champion (100% at 0 dB Es/N0 measured);
+# 1800 bps 8PSK the least robust (drops below 100% at ~4 dB).  Pins sit
+# >=2-3 dB above the measured 100%-pass SNR of 20-trial sweeps with
+# random CFO (+-25 Hz) and fractional timing (modes 1/2 pass 20/20 at
+# 3 dB; modes 4/5/6 at 2 dB; see the r3 sweep in git history), so a
+# single flaky seed cannot mask a real DSP regression.
 PINS = [
-    (0, 3.0),     # 300 bps single slot
-    (3, 7.0),     # 1800 bps single slot
-    (7, 8.0),     # 1800 bps double slot
+    (0, 3.0),     # 300 bps single slot, r=1/4
+    (1, 4.0),     # 600 bps single slot
+    (2, 5.0),     # 1200 bps single slot (QPSK)
+    (3, 7.0),     # 1800 bps single slot (8PSK)
+    (4, 3.0),     # 300 bps double slot, r=1/4
+    (5, 4.0),     # 600 bps double slot
+    (6, 5.0),     # 1200 bps double slot (QPSK)
+    (7, 8.0),     # 1800 bps double slot (8PSK)
 ]
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize('mode,snr_db', PINS)
 def test_sensitivity_pin(mode, snr_db):
-    rows = sweep([mode], [snr_db], trials=5)
-    assert rows[0]['pass_rate'] >= 0.8, rows
+    rows = sweep([mode], [snr_db], trials=20)
+    assert rows[0]['pass_rate'] >= 0.9, rows
 
 
 @pytest.mark.slow
