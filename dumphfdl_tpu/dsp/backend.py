@@ -27,6 +27,26 @@ from ..ops import interleave
 from ..ops import psk
 
 
+def _decode_core(data_symbols: jax.Array, bitmask: jax.Array,
+                 mode: int) -> jax.Array:
+    """Traceable decode body (jit-wrapped below; also inlined into the
+    fused on-device event decode in decode_events_inline)."""
+    p = C.MODES[mode]
+    scr = jnp.asarray(seq.bipolar(seq.scrambler_for_symbols(p.num_data_symbols)))
+    flip = jnp.where(jnp.asarray(bitmask).reshape(-1).astype(bool),
+                     -1.0, 1.0)[:, None]
+    syms = data_symbols * scr[None, :] * flip
+    soft = psk.soft_demodulate(syms, p.arity)            # (B, S, arity) uint8
+    soft = soft.reshape(syms.shape[0], p.num_encoded_bits)
+    perm = jnp.asarray(interleave.deinterleave_perm(mode))
+    soft = jnp.take(soft, perm, axis=1)
+    if p.code_rate == 4:
+        pairs = soft.reshape(soft.shape[0], -1, 2).astype(jnp.int32)
+        a, b = pairs[..., 0], pairs[..., 1]
+        soft = ((a & b) + ((a ^ b) >> 1)).astype(jnp.uint8)  # floor avg (hfdl.c:1032)
+    return _viterbi(soft, p.framebits)
+
+
 @functools.partial(jax.jit, static_argnames=('mode',))
 def decode_frame_batch(data_symbols: jax.Array,
                        bitmask: jax.Array,
@@ -43,20 +63,63 @@ def decode_frame_batch(data_symbols: jax.Array,
     Returns:
       (B, framebits) int8 decoded bits (pack with pdu_bytes_from_bits).
     """
-    p = C.MODES[mode]
-    scr = jnp.asarray(seq.bipolar(seq.scrambler_for_symbols(p.num_data_symbols)))
-    flip = jnp.where(jnp.asarray(bitmask).reshape(-1).astype(bool),
-                     -1.0, 1.0)[:, None]
-    syms = data_symbols * scr[None, :] * flip
-    soft = psk.soft_demodulate(syms, p.arity)            # (B, S, arity) uint8
-    soft = soft.reshape(syms.shape[0], p.num_encoded_bits)
-    perm = jnp.asarray(interleave.deinterleave_perm(mode))
-    soft = jnp.take(soft, perm, axis=1)
-    if p.code_rate == 4:
-        pairs = soft.reshape(soft.shape[0], -1, 2).astype(jnp.int32)
-        a, b = pairs[..., 0], pairs[..., 1]
-        soft = ((a & b) + ((a ^ b) >> 1)).astype(jnp.uint8)  # floor avg (hfdl.c:1032)
-    return _viterbi(soft, p.framebits)
+    return _decode_core(data_symbols, bitmask, mode)
+
+
+# ---- fused on-device event decode --------------------------------------
+#
+# The TPU streaming path decodes completed frames INSIDE the same XLA
+# program as the demod step, so the host reads back ONE buffer per block
+# (event table + packed decoded bits) instead of driving a gather +
+# per-mode decode round-trip chain.  On tunneled interconnects each
+# round trip costs ~90 ms, which made host-side event collection 93% of
+# the demod loop (r3 measurement; the reference's analogue is the
+# single PDU-decoder thread, pdu.c:91).
+
+MAX_FRAMEBITS = max(m.framebits for m in C.MODES)
+PACK_WORDS = (MAX_FRAMEBITS + 31) // 32
+
+
+def decode_events_inline(framebuf: jax.Array, ev_table: jax.Array,
+                         e_max: int) -> jax.Array:
+    """Decode up to e_max completed frames straight from the device-side
+    frame buffers + event table (both already in the compute graph).
+
+    Returns an (e_max, 1 + PACK_WORDS) int32 matrix: column 0 is the
+    flat event-table row the frame came from (-1 = empty slot), the rest
+    the frame's decoded bits packed LSB-first into int32 words.  Every
+    mode's decoder runs on the padded event batch and the right result
+    is selected per event (all-modes compute is ~1 ms on the MXU; a
+    data-dependent dispatch would force a host round trip).
+    """
+    from .tracker import EV_FIELDS, K_EVENTS
+    c = framebuf.shape[0]
+    tab = ev_table.reshape(c, K_EVENTS, EV_FIELDS)
+    valid = tab[:, :, 0] > 0.5
+    flat = jnp.nonzero(valid.ravel(), size=e_max,
+                       fill_value=c * K_EVENTS)[0]
+    ok = flat < c * K_EVENTS
+    ch = jnp.where(ok, flat // K_EVENTS, 0)
+    sl = jnp.where(ok, flat % K_EVENTS, 0)
+    parity = jnp.clip(tab[ch, sl, 3].astype(jnp.int32), 0, 1)
+    mode = jnp.clip(tab[ch, sl, 1].astype(jnp.int32), 0, len(C.MODES) - 1)
+    bmask = tab[ch, sl, 2] > 0.5
+    syms = framebuf[ch, parity]                    # (E, DATA_SYMBOLS_MAX)
+    per_mode = []
+    for m in range(len(C.MODES)):
+        p = C.MODES[m]
+        bits_m = _decode_core(syms[:, :p.num_data_symbols], bmask, m)
+        per_mode.append(jnp.pad(bits_m.astype(jnp.int32),
+                                ((0, 0), (0, MAX_FRAMEBITS - p.framebits))))
+    allbits = jnp.stack(per_mode)                  # (8, E, MAXF)
+    sel = jnp.take_along_axis(
+        allbits, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+    padded = jnp.pad(sel, ((0, 0), (0, PACK_WORDS * 32 - MAX_FRAMEBITS)))
+    words = jnp.sum(
+        padded.reshape(e_max, PACK_WORDS, 32)
+        << jnp.arange(32, dtype=jnp.int32)[None, None, :], axis=-1)
+    row = jnp.where(ok, flat, -1).astype(jnp.int32)
+    return jnp.concatenate([row[:, None], words], axis=1)
 
 
 def _viterbi(soft: jax.Array, framebits: int) -> jax.Array:

@@ -132,7 +132,9 @@ def _gather_frames(framebuf: jax.Array, ch: jax.Array,
 _DONATE = () if os.environ.get('DUMPHFDL_NO_DONATE') else (0, 1, 2, 3, 4)
 
 
-@functools.partial(jax.jit, static_argnames=('num_steps', 'debug_taps'),
+@functools.partial(jax.jit,
+                   static_argnames=('num_steps', 'debug_taps',
+                                    'fused_events'),
                    donate_argnums=_DONATE)
 def channel_step(agc_state: AgcState,
                  tracker_state: TrackerState,
@@ -141,12 +143,19 @@ def channel_step(agc_state: AgcState,
                  lvl_tail: jax.Array,
                  x: jax.Array,
                  num_steps: int,
-                 debug_taps: bool = False):
+                 debug_taps: bool = False,
+                 fused_events: int = 0):
     """One fused device step: AGC -> MF -> tracker scan -> frame scatter.
 
     This is the flagship forward step: everything from normalized samples
     to labeled symbols and filled frame buffers in a single XLA program,
     with all sequential state donated and carried across calls.
+
+    fused_events > 0 additionally decodes up to that many completed
+    frames IN THIS PROGRAM (descramble -> soft demod -> deinterleave ->
+    Viterbi, backend.decode_events_inline), so the host's only per-block
+    transfer is one readout buffer: the event table concatenated with
+    the packed decoded bits.
     """
     agc_state, y, level = agc_block(agc_state, x)
     mf = matched_filter(y)
@@ -157,8 +166,16 @@ def channel_step(agc_state: AgcState,
     tracker_state, outs, ev_table, counters = tracker_block_auto(
         tracker_state, mf_ext, lvl_ext, num_steps, debug_taps)
     framebuf = _scatter_frames(framebuf, outs)
+    readout = ev_table
+    if fused_events:
+        decoded = backend.decode_events_inline(framebuf, ev_table,
+                                               fused_events)
+        readout = jnp.concatenate([
+            ev_table.reshape(-1),
+            jax.lax.bitcast_convert_type(decoded.reshape(-1), jnp.float32),
+        ])
     return (agc_state, tracker_state, framebuf, new_tail, new_lvl_tail,
-            outs, ev_table, counters)
+            outs, readout, counters)
 
 
 @dataclasses.dataclass
@@ -184,6 +201,12 @@ class ChannelBank:
     # deferred gather reads a (parity) frame buffer that cannot be
     # rewritten for >= 2 frame lengths.
     pipeline_events: bool = False
+    # fused_event_decode: max frames decoded ON DEVICE per block inside
+    # channel_step (one-readout collection).  None = auto: 64 on TPU
+    # (where transfer round trips dominate), 0 (host gather+decode path)
+    # elsewhere -- the all-modes fused decode is cheap on the MXU but
+    # slow on the CPU test mesh.
+    fused_event_decode: int | None = None
     agc_state: AgcState = None
     tracker_state: TrackerState = None
     framebuf: jax.Array = None
@@ -194,6 +217,9 @@ class ChannelBank:
 
     def __post_init__(self):
         from ..utils.xfer import restricted_backend
+        if self.fused_event_decode is None:
+            self.fused_event_decode = \
+                64 if jax.devices()[0].platform == 'tpu' else 0
         if self.mesh is None and self.auto_shard \
                 and not restricted_backend() \
                 and len(jax.local_devices()) > 1:
@@ -262,7 +288,7 @@ class ChannelBank:
          self._tail, self._lvl_tail, outs, ev_table, counters) = channel_step(
             self.agc_state, self.tracker_state, self.framebuf,
             self._tail, self._lvl_tail, x, num_steps,
-            self.dumps is not None)
+            self.dumps is not None, self.fused_event_decode)
         self.last_counters = counters    # (C, 4): A2, M1, M1-miss, event-overflow deltas
         if self.dumps is not None:
             sym = device_get(outs.sym).T          # (C, T_out)
@@ -286,19 +312,33 @@ class ChannelBank:
         self._pending_ev = None
         return self._collect_events(prev) if prev is not None else []
 
-    def _collect_events(self, ev_table) -> list[FrameEvent]:
-        """Decode completed frames from the compacted event table.
+    def _collect_events(self, readout) -> list[FrameEvent]:
+        """Decode completed frames from the per-block readout.
 
-        One small (C, K*F) float32 transfer per block; when events
-        completed, ONE padded on-device gather per block fetches every
-        frame's symbols (batch quantized to powers of two so the set of
-        compiled shapes stays bounded)."""
-        table = device_get(ev_table).reshape(self._c, K_EVENTS, EV_FIELDS)
+        Fused path (TPU): `readout` is ONE flat f32 buffer -- the event
+        table followed by bit-cast on-device-decoded frame bits
+        (backend.decode_events_inline) -- so collection costs exactly
+        one transfer.  Plain path: `readout` is the (C, K*F) event
+        table; frame symbols are fetched with one padded on-device
+        gather and decoded in per-mode batches (bounded compiled
+        shapes).  Overflow past the fused capacity falls back to the
+        gather path for the excess events."""
+        flatlen = self._c * K_EVENTS * EV_FIELDS
+        buf = device_get(readout)
+        dec = None
+        if buf.ndim == 1 and buf.size > flatlen:
+            table = buf[:flatlen].reshape(self._c, K_EVENTS, EV_FIELDS)
+            dec = np.ascontiguousarray(
+                buf[flatlen:].astype(np.float32)).view(np.int32) \
+                .reshape(-1, 1 + backend.PACK_WORDS)
+        else:
+            table = buf.reshape(self._c, K_EVENTS, EV_FIELDS)
         valid = table[:, :, 0] > 0.5
         valid[self.num_channels:] = False      # padded dummy channels
         if not valid.any():
             return []
         chans, slots = np.nonzero(valid)
+        flat_rows = chans * K_EVENTS + slots   # ascending, = device order
         f = table[chans, slots]                # (n, EV_FIELDS), vectorized
         n_ev = len(chans)
         modes = f[:, 1].astype(np.int64)
@@ -314,26 +354,49 @@ class ChannelBank:
             train_total=int(f[i, 8]),
             start_symbol=int(f[i, 9]),
         ) for i in range(n_ev)]
-        # one padded on-device gather per block (chunked only past the cap)
+        need_gather = list(range(n_ev))
+        if dec is not None:
+            need_gather = []
+            for i in range(n_ev):
+                if i < dec.shape[0] and dec[i, 0] == flat_rows[i]:
+                    fb = C.MODES[events[i].mode].framebits
+                    words = dec[i, 1:].astype(np.uint32)
+                    bits = ((words[:, None]
+                             >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+                            ).astype(np.uint8).reshape(-1)[:fb]
+                    events[i] = events[i]._replace(
+                        pdu=backend.pdu_bytes_from_bits(bits[None])[0])
+                else:                       # fused-capacity overflow
+                    need_gather.append(i)
+        if need_gather:
+            events = self._decode_by_gather(events, np.asarray(need_gather),
+                                            chans, parities, modes, bitmasks)
+        return events
+
+    def _decode_by_gather(self, events, idxs, chans, parities, modes,
+                          bitmasks) -> list[FrameEvent]:
+        """Gather-and-decode path for the given event indices."""
+        n_ev = len(idxs)
         frames = np.empty((n_ev, C.DATA_SYMBOLS_MAX), np.complex64)
         for off in range(0, n_ev, _GATHER_BATCH_MAX):
             n = min(_GATHER_BATCH_MAX, n_ev - off)
             batch = max(_GATHER_BATCH_MIN, 1 << int(np.ceil(np.log2(n))))
             ch_pad = np.zeros((batch, 1), np.int32)
             pa_pad = np.zeros((batch, 1), np.int32)
-            ch_pad[:n, 0] = chans[off:off + n]
-            pa_pad[:n, 0] = parities[off:off + n]
+            ch_pad[:n, 0] = chans[idxs[off:off + n]]
+            pa_pad[:n, 0] = parities[idxs[off:off + n]]
             flat = device_get(_gather_frames(
                 self.framebuf, device_put_safe(ch_pad),
                 device_put_safe(pa_pad)))
             ri = flat.reshape(batch, C.DATA_SYMBOLS_MAX, 2)
             frames[off:off + n] = ri[:n, :, 0] + 1j * ri[:n, :, 1]
         # group by mode for batched backend decode (<= 8 static shapes)
-        for mode in np.unique(modes):
-            idxs = np.nonzero(modes == mode)[0]
+        sub_modes = modes[idxs]
+        for mode in np.unique(sub_modes):
+            rel = np.nonzero(sub_modes == mode)[0]
             nsym = C.MODES[mode].num_data_symbols
-            pdus = backend.decode_frames(frames[idxs, :nsym],
-                                         bitmasks[idxs], int(mode))
-            for i, pdu in zip(idxs, pdus):
-                events[i] = events[i]._replace(pdu=pdu)
+            pdus = backend.decode_frames(frames[rel, :nsym],
+                                         bitmasks[idxs[rel]], int(mode))
+            for r, pdu in zip(rel, pdus):
+                events[idxs[r]] = events[idxs[r]]._replace(pdu=pdu)
         return events

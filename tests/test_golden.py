@@ -47,3 +47,43 @@ def test_golden_capture_decodes(manifest):
         key = (exp['channel'], exp['mode'])
         assert key in got, f'frame missing: {exp}'
         assert got[key] == exp['pdu_hex'], f'PDU drift on {key}'
+
+
+@pytest.mark.slow
+def test_fused_event_decode_matches_host_path():
+    """fused_event_decode decodes frames on device inside channel_step
+    (the TPU single-readout collection path); forced on here (CPU) it
+    must produce byte-identical PDUs to the host gather+decode path."""
+    import numpy as np
+    from dumphfdl_tpu import constants as C
+    from dumphfdl_tpu.dsp import modulator
+    from dumphfdl_tpu.dsp.channel import ChannelBank
+
+    rng = np.random.default_rng(9)
+    pdu = modulator.make_test_mpdu(1, rng, icao=0x3C0077)
+    syms = modulator.frame_symbols(pdu, 1)
+    iq = modulator.synthesize_iq(
+        syms, imp=modulator.Impairments(snr_db=30.0, cfo_hz=-8.0,
+                                        timing_offset=0.3, seed=4))
+    noise = (rng.standard_normal(len(iq))
+             + 1j * rng.standard_normal(len(iq))).astype(np.complex64) * 0.01
+    x = np.stack([iq, noise]).astype(np.complex64)
+    blk = 5400
+
+    def run(**kw):
+        bank = ChannelBank(2, auto_shard=False, **kw)
+        evs = []
+        for off in range(0, x.shape[1], blk):
+            b = x[:, off:off + blk]
+            if b.shape[1] < blk:
+                b = np.pad(b, ((0, 0), (0, blk - b.shape[1])))
+            evs += bank.process(b)
+        evs += bank.process(np.zeros((2, blk), np.complex64))
+        return evs
+
+    ev_host = [e for e in run() if e.pdu]
+    ev_fused = [e for e in run(fused_event_decode=4) if e.pdu]
+    assert len(ev_host) == len(ev_fused) == 1
+    assert ev_host[0].pdu == pdu
+    assert ev_fused[0].pdu == pdu
+    assert ev_fused[0] == ev_host[0]
