@@ -87,7 +87,8 @@ class HfdlApp:
             self.receiver = WidebandReceiver(cfg.sample_rate, self.centerfreq,
                                              list(cfg.frequencies))
         self.stream_epoch = time_mod.time()
-        self.frames_decoded = 0
+        self.frames_decoded = 0     # FCS-valid frames parsed
+        self.frames_junk = 0        # FCS-fail frames (false locks/errors)
         self._stop = threading.Event()
         self._nf_thread = None
 
@@ -129,10 +130,36 @@ class HfdlApp:
             if ev.pdu is None:
                 continue
             meta = self._metadata_for(ev)
+            if not ev.fcs_ok:
+                # junk frame (noise false-lock / uncorrected errors,
+                # verdict from the device FCS kernel): account it without
+                # burning deep-parse time -- unless corrupted-PDU output
+                # is requested, in which case the parsers handle it
+                self.frames_junk += 1
+                if self.ctx.options.output_corrupted_pdus:
+                    trees = parse_pdu(ev.pdu, meta, self.ctx)
+                    if trees:
+                        self.outputs.dispatch(meta, trees)
+                else:
+                    self._count_junk(ev.pdu, meta)
+                continue
             trees = parse_pdu(ev.pdu, meta, self.ctx)
             self.frames_decoded += 1
             if trees:
                 self.outputs.dispatch(meta, trees)
+
+    def _count_junk(self, pdu: bytes, meta: PduMetadata) -> None:
+        """StatsD parity for skipped junk frames (the counters the
+        parsers would have incremented: frames.processed +
+        too_short/bad_fcs, mpdu.c:56-89 / spdu.c:40)."""
+        statsd = self.ctx.statsd
+        statsd.increment_per_channel(meta.freq, 'frames.processed')
+        from .ops.crc import pdu_hdr_len
+        if pdu_hdr_len(pdu) is None:
+            statsd.increment_per_channel(meta.freq,
+                                         'frame.errors.too_short')
+        else:
+            statsd.increment_per_channel(meta.freq, 'frame.errors.bad_fcs')
 
     # -- main loops --
 

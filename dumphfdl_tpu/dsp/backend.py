@@ -79,15 +79,76 @@ def decode_frame_batch(data_symbols: jax.Array,
 MAX_FRAMEBITS = max(m.framebits for m in C.MODES)
 PACK_WORDS = (MAX_FRAMEBITS + 31) // 32
 
+# largest FCS-protected header: uplink MPDU with 8 aircraft x 15 LPDUs
+# (2 + 8*(2+15) bytes, mpdu.c:60-75); SPDU = 64; downlink <= 21
+_HDR_MAX_BYTES = 144
+
+
+def _device_fcs_ok(bits: jax.Array) -> jax.Array:
+    """Header-FCS check for a batch of decoded frames, on device.
+
+    bits: (E, F) int32 LSB-first-per-byte frame bits (the order the
+    reflected CRC-16/CCITT consumes them, crc.c:4-47).  Computes each
+    frame's header length from its first bytes exactly like the host
+    parsers (SPDU: 64, spdu.c:40; downlink MPDU: 6+lpdu_cnt; uplink
+    MPDU: per-aircraft size walk, mpdu.c:56-75), runs the reflected CRC
+    over the header bit stream, and compares with the little-endian FCS
+    that follows (pdu.c:66-79).  Frames failing this check are junk
+    (noise false-locks or uncorrected errors): the host can skip deep
+    parsing and count them, instead of burning parse time (VERDICT r3
+    #2/#3).
+    """
+    e, f = bits.shape
+    nbytes = min(f // 8, _HDR_MAX_BYTES + 2)
+    byts = jnp.sum(
+        bits[:, :nbytes * 8].reshape(e, nbytes, 8)
+        << jnp.arange(8, dtype=jnp.int32)[None, None, :], axis=-1)
+    b0 = byts[:, 0]
+    is_mpdu = (b0 & 1) == 1
+    downlink = (b0 & 2) == 2
+    # uplink header walk (bounded: <= 8 aircraft)
+    ac_cnt = ((b0 & 0x70) >> 4) + 1
+    h = jnp.full((e,), 2, jnp.int32)
+    for it in range(8):
+        active = (it < ac_cnt) & is_mpdu & ~downlink
+        nb = jnp.take_along_axis(
+            byts, jnp.clip(h + 1, 0, nbytes - 1)[:, None], axis=1)[:, 0] >> 4
+        h = jnp.where(active, h + 2 + nb, h)
+    hdr_len = jnp.where(is_mpdu,
+                        jnp.where(downlink, 6 + ((b0 >> 2) & 0xF), h),
+                        64)
+    hdr_len = jnp.clip(hdr_len, 1, nbytes - 2)
+    fits = hdr_len + 2 <= nbytes
+    # reflected CRC over the header bit stream, capturing at 8*hdr_len
+    n_hdr_bits = 8 * (nbytes - 2)
+    xs = bits[:, :n_hdr_bits].T.astype(jnp.int32)          # (T, E)
+
+    def step(carry, xt):
+        crc, cap, t = carry
+        crc = crc ^ xt
+        crc = (crc >> 1) ^ (crc & 1) * 0x8408
+        cap = jnp.where(t + 1 == hdr_len * 8, crc, cap)
+        return (crc, cap, t + 1), None
+
+    init = (jnp.full((e,), 0xFFFF, jnp.int32),
+            jnp.zeros((e,), jnp.int32), jnp.int32(0))
+    (_, crc_at_hdr, _), _ = jax.lax.scan(step, init, xs, unroll=16)
+    fcs = crc_at_hdr ^ 0xFFFF
+    exp = jnp.take_along_axis(byts, hdr_len[:, None], axis=1)[:, 0] \
+        | (jnp.take_along_axis(byts, (hdr_len + 1)[:, None],
+                               axis=1)[:, 0] << 8)
+    return fits & (fcs == exp)
+
 
 def decode_events_inline(framebuf: jax.Array, ev_table: jax.Array,
                          e_max: int) -> jax.Array:
     """Decode up to e_max completed frames straight from the device-side
     frame buffers + event table (both already in the compute graph).
 
-    Returns an (e_max, 1 + PACK_WORDS) int32 matrix: column 0 is the
-    flat event-table row the frame came from (-1 = empty slot), the rest
-    the frame's decoded bits packed LSB-first into int32 words.  Every
+    Returns an (e_max, 2 + PACK_WORDS) int32 matrix: column 0 is the
+    flat event-table row the frame came from (-1 = empty slot), column 1
+    the on-device header-FCS verdict (_device_fcs_ok), the rest the
+    frame's decoded bits packed LSB-first into int32 words.  Every
     mode's decoder runs on the padded event batch and the right result
     is selected per event (all-modes compute is ~1 ms on the MXU; a
     data-dependent dispatch would force a host round trip).
@@ -119,7 +180,8 @@ def decode_events_inline(framebuf: jax.Array, ev_table: jax.Array,
         padded.reshape(e_max, PACK_WORDS, 32)
         << jnp.arange(32, dtype=jnp.int32)[None, None, :], axis=-1)
     row = jnp.where(ok, flat, -1).astype(jnp.int32)
-    return jnp.concatenate([row[:, None], words], axis=1)
+    fcs = _device_fcs_ok(sel).astype(jnp.int32)
+    return jnp.concatenate([row[:, None], fcs[:, None], words], axis=1)
 
 
 def _viterbi(soft: jax.Array, framebits: int) -> jax.Array:

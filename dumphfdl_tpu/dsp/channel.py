@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+from ..ops import crc
 from . import backend
 from .tracker import (EV_FIELDS, HALO, K_EVENTS, TrackerOutputs,
                       TrackerState, tracker_block_auto, tracker_init)
@@ -101,6 +102,11 @@ class FrameEvent(NamedTuple):
     train_total: int
     start_symbol: int     # absolute symbol index of frame start (prekey)
     pdu: bytes | None = None
+    # header-FCS verdict (device _device_fcs_ok / host crc.pdu_fcs_ok):
+    # False = junk (noise false-lock or uncorrected errors); the app
+    # still parses it (for --output-corrupted-pdus parity) but accounts
+    # it separately (pdu.c:66-79)
+    fcs_ok: bool = False
 
 
 def _scatter_frames(framebuf: jax.Array, outs: TrackerOutputs) -> jax.Array:
@@ -265,13 +271,16 @@ class ChannelBank:
                 x = device_put_safe(samples)
         num_steps = int(x.shape[1] // C.SPS)   # x is the raw block; the
         # carried HALO tail is prepended inside channel_step
-        limit = (C.SINGLE_SLOT_FRAME_LEN if self.pipeline_events
-                 else 2 * C.SINGLE_SLOT_FRAME_LEN)
+        # A completed frame's (C, 2, S) parity buffer is safe from reuse
+        # until the NEXT same-parity frame's DATA section begins writing:
+        # at least PREKEY + SINGLE_SLOT_FRAME_LEN symbols after the event
+        # (one opposite-parity frame, then the next frame's prekey +
+        # preamble before its first data symbol).  The collection window
+        # is 1 block (or 2 when event collection is pipelined one block
+        # behind), so the window must fit inside that rewrite distance.
+        span = C.SINGLE_SLOT_FRAME_LEN + C.PREKEY_LEN
+        limit = span // 2 if self.pipeline_events else span
         if num_steps >= limit:
-            # two same-parity frames could complete inside the collection
-            # window and collide in the (C, 2, S) frame buffers /
-            # K_EVENTS=2 table (window = 1 block, or 2 when event
-            # collection is pipelined one block behind)
             raise ValueError(
                 f'block of {x.shape[1]} samples ({num_steps} symbols) '
                 f'violates the frame-parity invariant: must be < '
@@ -330,7 +339,7 @@ class ChannelBank:
             table = buf[:flatlen].reshape(self._c, K_EVENTS, EV_FIELDS)
             dec = np.ascontiguousarray(
                 buf[flatlen:].astype(np.float32)).view(np.int32) \
-                .reshape(-1, 1 + backend.PACK_WORDS)
+                .reshape(-1, 2 + backend.PACK_WORDS)
         else:
             table = buf.reshape(self._c, K_EVENTS, EV_FIELDS)
         valid = table[:, :, 0] > 0.5
@@ -356,16 +365,22 @@ class ChannelBank:
         ) for i in range(n_ev)]
         need_gather = list(range(n_ev))
         if dec is not None:
+            # match by row id, not position: decode_events_inline scans
+            # ALL table rows (including padded dummy channels), so a
+            # spurious event on a padded row must not shift the mapping
+            by_row = {int(r): j for j, r in enumerate(dec[:, 0]) if r >= 0}
             need_gather = []
             for i in range(n_ev):
-                if i < dec.shape[0] and dec[i, 0] == flat_rows[i]:
+                j = by_row.get(int(flat_rows[i]))
+                if j is not None:
                     fb = C.MODES[events[i].mode].framebits
-                    words = dec[i, 1:].astype(np.uint32)
+                    words = dec[j, 2:].astype(np.uint32)
                     bits = ((words[:, None]
                              >> np.arange(32, dtype=np.uint32)[None, :]) & 1
                             ).astype(np.uint8).reshape(-1)[:fb]
                     events[i] = events[i]._replace(
-                        pdu=backend.pdu_bytes_from_bits(bits[None])[0])
+                        pdu=backend.pdu_bytes_from_bits(bits[None])[0],
+                        fcs_ok=bool(dec[j, 1]))
                 else:                       # fused-capacity overflow
                     need_gather.append(i)
         if need_gather:
@@ -398,5 +413,6 @@ class ChannelBank:
             pdus = backend.decode_frames(frames[rel, :nsym],
                                          bitmasks[idxs[rel]], int(mode))
             for r, pdu in zip(rel, pdus):
-                events[idxs[r]] = events[idxs[r]]._replace(pdu=pdu)
+                events[idxs[r]] = events[idxs[r]]._replace(
+                    pdu=pdu, fcs_ok=crc.pdu_fcs_ok(pdu))
         return events

@@ -283,6 +283,19 @@ class Channelizer:
         # fs1 ring + polyphase resampler state
         self._out_count = 0            # total 5400-sps samples emitted
         self.ratio = self.fs1 / C.INTERNAL_RATE   # fs1 samples per output
+        # ratio as an exact reduced rational: fs1/5400 = fs/(D*5400).
+        # When the reduced terms are small (every practical SDR rate),
+        # per-sample positions are derived with exact int32 arithmetic on
+        # device, so phase-bin selection can never drift from the exact
+        # float64 host computation (ADVICE r3: at pos ~ 1e4 the f32 ulp
+        # ~1e-3 samples could flip a 1/64 phase bin near bin boundaries).
+        import math as _math
+        den0 = decimation * C.INTERNAL_RATE
+        g = _math.gcd(self.fs, den0)
+        self._rs_num = self.fs // g
+        self._rs_den = den0 // g
+        self._rs_exact = (self._rs_den <= (1 << 20)
+                          and (out_chunk + 1) * self._rs_num < (1 << 30))
         self._rs_taps = int(8 * max(1, int(np.ceil(self.ratio))))
         self._bank = jnp.asarray(_resampler_bank(
             int(round(self.ratio * 1000)), self._rs_taps))
@@ -361,17 +374,35 @@ class Channelizer:
         `params` (3, 1) f32 -- [frac start, int start, ring read cursor]
         -- so the per-drain host traffic is one tiny upload instead of
         two (n_out, 1) index vectors (a = global output position in fs1
-        samples minus the ring's global start, split frac/int for f32
-        exactness; all values are ring-bounded so f32 holds them)."""
+        samples minus the ring's global start).
+
+        Exact path (self._rs_exact, the practical case): params is
+        [[a_frac_num], [a_int], [rstart]] int32 with a's fractional part
+        as a numerator over the reduced ratio denominator; positions and
+        phase bins come out of exact integer arithmetic.  Fallback path
+        (irrational-ish sample rates): f32 positions -- worst case one
+        1/64 phase-bin flip near bin boundaries (~-60 dB amplitude
+        effect, below CS16 quantization)."""
         k = self._rs_taps
-        a_frac = params[0, 0]
-        a_int = params[1, 0].astype(jnp.int32)
-        rstart = params[2, 0].astype(jnp.int32)
-        ratio = jnp.float32(self.ratio)
-        pos = a_frac + jnp.arange(n_out, dtype=jnp.float32) * ratio
-        base = jnp.floor(pos)
-        frac = pos - base
-        rel = jnp.maximum(a_int + base.astype(jnp.int32) - (k // 2 - 1), 0)
+        if self._rs_exact:
+            a_fnum = params[0, 0].astype(jnp.int32)
+            a_int = params[1, 0].astype(jnp.int32)
+            rstart = params[2, 0].astype(jnp.int32)
+            num, den = self._rs_num, self._rs_den
+            tot = a_fnum + jnp.arange(n_out, dtype=jnp.int32) * num
+            base = tot // den
+            rem = tot - base * den
+            frac = rem.astype(jnp.float32) / jnp.float32(den)
+            rel = jnp.maximum(a_int + base - (k // 2 - 1), 0)
+        else:
+            a_frac = params[0, 0]
+            a_int = params[1, 0].astype(jnp.int32)
+            rstart = params[2, 0].astype(jnp.int32)
+            ratio = jnp.float32(self.ratio)
+            pos = a_frac + jnp.arange(n_out, dtype=jnp.float32) * ratio
+            base = jnp.floor(pos)
+            frac = pos - base
+            rel = jnp.maximum(a_int + base.astype(jnp.int32) - (k // 2 - 1), 0)
         offsets = (rstart + rel) % ring.shape[1]               # (n_out,)
         phases = jnp.round(frac * 64).astype(jnp.int32)
         win_idx = (offsets[:, None] + jnp.arange(k)[None, :]) % ring.shape[1]
@@ -468,11 +499,18 @@ class Channelizer:
             if int(np.floor(last_pos)) + k >= avail:
                 break
             # a = fs1 position of output n0 relative to the ring start;
-            # ring-bounded, split int/frac so f32 carries it exactly
-            a = n0 * self.ratio - self._ring_global_start
-            a_int = int(np.floor(a))
-            params = np.asarray(
-                [[a - a_int], [a_int], [self._fs1_start]], np.float32)
+            # ring-bounded; exact path ships the fractional part as an
+            # integer numerator over the reduced-ratio denominator
+            if self._rs_exact:
+                a_num = n0 * self._rs_num - self._ring_global_start * self._rs_den
+                a_int, a_fnum = divmod(a_num, self._rs_den)
+                params = np.asarray(
+                    [[a_fnum], [a_int], [self._fs1_start]], np.int32)
+            else:
+                a = n0 * self.ratio - self._ring_global_start
+                a_int = int(np.floor(a))
+                params = np.asarray(
+                    [[a - a_int], [a_int], [self._fs1_start]], np.float32)
             chunks.append(self._resample(
                 self._fs1_ring, self._bank, device_put_safe(params),
                 self.out_chunk))

@@ -114,6 +114,12 @@ class TrackerState(NamedTuple):
     frame_sym_cnt: jax.Array  # (C,) f32
     noise_floor: jax.Array  # (C,) f32
     nf_clk: jax.Array       # (C,) i32
+    # block-parallel acquisition carry (tracker_pallas): 1 = the
+    # preamble prefilter saw A-sequence energy in the PREVIOUS block, so
+    # the next block must run the full symbol loop even if the channel
+    # is still hunting (a frame may straddle the boundary).  The scan
+    # tracker ignores and passes it through.
+    acq_hit: jax.Array = None  # (C,) i32
 
 
 class TrackerOutputs(NamedTuple):
@@ -181,6 +187,7 @@ def tracker_init(num_channels: int) -> TrackerState:
         frame_sym_cnt=z(jnp.float32),
         noise_floor=jnp.ones((c,), dtype=jnp.float32),
         nf_clk=z(),
+        acq_hit=z(),
     )
 
 
@@ -606,6 +613,7 @@ def tracker_block(state: TrackerState,
             freq_err=upd['freq_err'], signal_level=upd['sig'],
             frame_sym_cnt=upd['fsc'],
             noise_floor=nf, nf_clk=nf_clk,
+            acq_hit=st.acq_hit,
         )
         outputs = TrackerOutputs(
             sym=y_eq, is_data=in_data, data_idx=out_data_idx,

@@ -50,6 +50,34 @@ def fcs_check(buf: bytes | np.ndarray, hdr_len: int) -> bool:
     return fcs_compute(buf[:hdr_len]) == expected
 
 
+def pdu_hdr_len(buf: bytes) -> int | None:
+    """FCS-protected header length of a decoded HFDL frame, mirroring the
+    parsers' geometry (SPDU: 64, spdu.c:40; downlink MPDU: 6+lpdu_cnt,
+    mpdu.c:56-59; uplink MPDU: per-aircraft walk, mpdu.c:60-75).
+    Returns None when the frame is too short to hold its own header."""
+    if not buf:
+        return None
+    b0 = buf[0]
+    if not b0 & 1:                    # SPDU
+        return 64 if len(buf) >= 66 else None
+    if b0 & 2:                        # downlink MPDU
+        h = 6 + ((b0 >> 2) & 0xF)
+    else:                             # uplink MPDU
+        h = 2
+        for _ in range(((b0 & 0x70) >> 4) + 1):
+            if len(buf) < h + 2:
+                return None
+            h += 2 + (buf[h + 1] >> 4)
+    return h if len(buf) >= h + 2 else None
+
+
+def pdu_fcs_ok(buf: bytes) -> bool:
+    """Host-side header-FCS verdict for a decoded frame (the same check
+    backend._device_fcs_ok performs on device)."""
+    h = pdu_hdr_len(buf)
+    return h is not None and fcs_check(buf, h)
+
+
 def fcs_append(data: bytes) -> bytes:
     """Return data with its little-endian FCS appended (TX side)."""
     fcs = fcs_compute(data)

@@ -164,6 +164,9 @@ def _parse_body(buf: bytes, msg_dir: str, metadata, ctx) -> ProtoNode:
     if status in (REASM_COMPLETE, REASM_SKIPPED) and data['text']:
         use_raw = full_raw if status == REASM_COMPLETE else raw
         child = _parse_arinc622(data['text'], use_raw, msg_dir)
+        if child is None and data['label'] == 'SA':
+            from . import media_adv as media_adv_mod
+            child = media_adv_mod.parse(data['label'], data['text'])
         if child is None and data['label'] == 'MA':
             from . import miam as miam_mod
             child = miam_mod.parse(data['label'], data['text'], use_raw,
