@@ -43,6 +43,47 @@ from .tracker import (A1_SEARCH, DATA_1, DATA_2, EQ_TRAIN, EV_FIELDS,
 CT = 128          # channels per tile (lane dimension)
 ITAPS = 8
 
+# ---- block-parallel acquisition gate (VERDICT r3 #1b) -------------------
+#
+# Idle channels (hunting, no signal) are the common case at production
+# channel counts, yet the symbol loop costs the same for them as for
+# channels mid-frame.  Every HFDL frame begins with 448 unmodulated
+# prekey symbols and a twice-repeated 127-symbol A sequence
+# (hfdl.c:36-41), i.e. ~700 symbols that are PERIODIC at a lag of 127
+# symbols.  The prefilter below detects that periodicity open-loop --
+# x[m] * conj(x[m + 381]) box-summed over 381 samples, normalized by
+# energy -- which is immune to CFO (a constant phase on the sum) and to
+# symbol timing (no symbol grid).  Measured on synthesized frames
+# (extras r4 calibration): stat >= 0.87 at 3 dB SNR across +-60 Hz CFO,
+# noise max 0.27 over 512 channel-blocks; threshold 0.5 sits >= 10 sigma
+# from both.  Channel tiles where every channel is hunting with no
+# prefilter hit (this block or the previous one, TrackerState.acq_hit)
+# skip the whole symbol loop and apply exact closed-form state updates
+# instead (noise-floor EMA cadence, watchdogs, symbol counters).
+
+ACQ_LAG = 3 * C.A_LEN      # 381 samples = 127 symbols
+
+
+def acq_threshold() -> float:
+    return float(os.environ.get('DUMPHFDL_ACQ_THR', '0.5'))
+
+
+def acq_hits(x: jax.Array, threshold: float) -> jax.Array:
+    """(C,) int32 preamble-energy verdict for one block of tracker input
+    ((C, T) matched-filtered complex at 5400 sps)."""
+    d = w = ACQ_LAG
+    c, t = x.shape
+    if t <= d + w + 1:          # block too short to assess: stay active
+        return jnp.ones((c,), jnp.int32)
+    p = x[:, :-d] * jnp.conj(x[:, d:])
+    e = 0.5 * (jnp.abs(x[:, :-d]) ** 2 + jnp.abs(x[:, d:]) ** 2)
+    cp = jnp.cumsum(p, axis=1)
+    ce = jnp.cumsum(e, axis=1)
+    num = jnp.abs(cp[:, w:] - cp[:, :-w])
+    den = ce[:, w:] - ce[:, :-w]
+    stat = num / (den + 1e-9)
+    return (jnp.max(stat, axis=1) > threshold).astype(jnp.int32)
+
 # f32 state rows (sf)
 SF_TAU, SF_RATE, SF_PHI, SF_DPHI, SF_FREQ_ERR, SF_SIG, SF_FSC, SF_NF = range(8)
 SF_ROWS = 8
@@ -60,7 +101,8 @@ WIN_ROWS = 128    # rows 0-126 = bit window (oldest first), row 127 = 0
 
 
 def _kernel(num_steps, syms_per_tile, debug_taps,
-            xre_ref, xim_ref, lvl_ref, bip_ref, banks_ref, tbl_ref, eqi_ref,
+            act_ref, xre_ref, xim_ref, lvl_ref, bip_ref, banks_ref,
+            tbl_ref, eqi_ref,
             sf0_ref, si0_ref, eq0_ref, win0_ref,
             symre_ref, symim_ref, outi_ref,
             sf_ref, si_ref, eq_ref, win_ref, aux_ref, *tap_refs):
@@ -389,7 +431,68 @@ def _kernel(num_steps, syms_per_tile, debug_taps,
         return 0
 
     n_this = jnp.minimum(syms_per_tile, num_steps - j * syms_per_tile)
-    jax.lax.fori_loop(0, n_this, body, 0)
+    active = act_ref[0, 0] != 0
+
+    @pl.when(active)
+    def _run_full():
+        jax.lax.fori_loop(0, n_this, body, 0)
+
+    @pl.when(jnp.logical_not(active))
+    def _run_idle():
+        # Exact closed-form updates for an all-hunting, no-signal tile
+        # (every channel in A1_SEARCH): identical values to n_this loop
+        # iterations for everything frame-detection depends on --
+        # abs_symbol/out_idx clocks, noise-floor EMA at its exact
+        # cadence and lvl samples, hunt watchdog with its resets.
+        # tau/phi follow the no-noise limit of the loop (their
+        # noise-driven jitter carries no information; both decoders
+        # reset them on every failed acquisition anyway).
+        zf = jnp.zeros((syms_per_tile, CT), jnp.float32)
+        symre_ref[:, :] = zf
+        symim_ref[:, :] = zf
+        outi_ref[:, :] = jnp.zeros((syms_per_tile, CT), jnp.int32)
+        for r in tap_refs:
+            r[:, :] = zf
+        nf32 = n_this.astype(jnp.float32)
+        # hunt watchdog (hfdl.c:746-752): resets once when the counter
+        # crosses MAX (n_this << MAX so at most one crossing)
+        sc = si_ref[SI_SYMCNT:SI_SYMCNT + 1, :]
+        sc2 = sc + n_this
+        crossed = sc2 >= C.MAX_SYMBOLS_WITHOUT_FRAME
+        si_ref[SI_SYMCNT:SI_SYMCNT + 1, :] = \
+            jnp.where(crossed, sc2 - C.MAX_SYMBOLS_WITHOUT_FRAME, sc2)
+        # timing advance at the nominal rate; the carried rate holds
+        # until (and unless) the watchdog zeroes it mid-tile
+        k_cross = jnp.clip(C.MAX_SYMBOLS_WITHOUT_FRAME - sc, 0, n_this) \
+            .astype(jnp.float32)
+        rate = sf_ref[SF_RATE:SF_RATE + 1, :]
+        sf_ref[SF_TAU:SF_TAU + 1, :] = sf_ref[SF_TAU:SF_TAU + 1, :] \
+            + 2.0 * base_step * nf32 + 2.0 * rate * k_cross
+        for r in (SF_PHI, SF_DPHI, SF_RATE):
+            sf_ref[r:r + 1, :] = jnp.where(crossed, 0.0,
+                                           sf_ref[r:r + 1, :])
+        si_ref[SI_ABSSYM:SI_ABSSYM + 1, :] = \
+            si_ref[SI_ABSSYM:SI_ABSSYM + 1, :] + n_this
+        si_ref[SI_OUTIDX:SI_OUTIDX + 1, :] = \
+            si_ref[SI_OUTIDX:SI_OUTIDX + 1, :] + 2 * n_this
+        # noise-floor EMA at its exact cadence (hfdl.c:699-706): update
+        # m lands on local symbol t_m = 85*(m+1) - nf_clk - 1, using
+        # that symbol's lvl sample, exactly like the loop
+        nfclk = si_ref[SI_NFCLK:SI_NFCLK + 1, :]
+        nf = sf_ref[SF_NF:SF_NF + 1, :]
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (syms_per_tile, CT), 0)
+        lvl_tile = lvl_ref[:, :]
+        for m in range(syms_per_tile // 85 + 1):
+            t_m = 85 * (m + 1) - nfclk - 1
+            valid = t_m < n_this
+            lvl_sel = jnp.sum(jnp.where(iota_s == t_m, lvl_tile, 0.0),
+                              axis=0, keepdims=True)
+            nf = jnp.where(valid,
+                           0.65 * nf + 0.35 * jnp.minimum(nf, lvl_sel)
+                           + 1e-6, nf)
+        sf_ref[SF_NF:SF_NF + 1, :] = nf
+        si_ref[SI_NFCLK:SI_NFCLK + 1, :] = \
+            nfclk + n_this - 85 * ((nfclk + n_this) // 85)
 
 
 def _pack_state(state: TrackerState, c_pad: int):
@@ -479,24 +582,52 @@ def tracker_block_pallas(state: TrackerState,
                  or jax.devices()[0].platform != 'tpu')
     syms_per_tile = min(int(os.environ.get('DUMPHFDL_PALLAS_SYMS', '512')),
                         num_steps)
+    # acquisition gate: 'auto' = on (off for debug-taps blocks, whose
+    # whole point is full trajectories); 'off' = every tile active
+    # (exact trajectory parity with the scan tracker on noise too)
+    acq = os.environ.get('DUMPHFDL_ACQ', 'auto')
+    use_acq = acq != 'off' and not debug_taps
     return _tracker_block_pallas(state, x, level, num_steps, syms_per_tile,
-                                 interpret, debug_taps)
+                                 interpret, debug_taps, use_acq,
+                                 acq_threshold())
 
 
 @functools.partial(jax.jit,
                    static_argnames=('num_steps', 'syms_per_tile', 'interpret',
-                                    'debug_taps'))
+                                    'debug_taps', 'use_acq', 'acq_thr'))
 def _tracker_block_pallas(state: TrackerState,
                           x: jax.Array,
                           level: jax.Array,
                           num_steps: int,
                           syms_per_tile: int,
                           interpret: bool,
-                          debug_taps: bool = False):
+                          debug_taps: bool = False,
+                          use_acq: bool = False,
+                          acq_thr: float = 0.5):
     from .tracker import HALO
     c = x.shape[0]
     T = x.shape[1]
     c_pad = -(-c // CT) * CT
+
+    # per-channel-tile activity: run the symbol loop only for tiles with
+    # a channel that is mid-frame (fr != A1_SEARCH), or whose prefilter
+    # saw preamble energy in this block or the previous one
+    if use_acq:
+        hits = acq_hits(x, acq_thr)
+        prev = state.acq_hit if state.acq_hit is not None \
+            else jnp.zeros((c,), jnp.int32)
+        need = ((state.fr_state != A1_SEARCH).astype(jnp.int32)
+                | hits | prev)
+        if c_pad != c:
+            need = jnp.pad(need, (0, c_pad - c))
+        act = (need.reshape(c_pad // CT, CT).max(axis=1, keepdims=True)
+               > 0).astype(jnp.int32)
+    else:
+        # gate off: every tile runs; acq_hit passes through unchanged
+        # (same as the scan tracker, keeping full state parity)
+        hits = state.acq_hit if state.acq_hit is not None \
+            else jnp.zeros((c,), jnp.int32)
+        act = jnp.ones((c_pad // CT, 1), jnp.int32)
 
     # per-block channel alignment (identical to the scan version)
     shift = jnp.clip(jnp.round(state.tau).astype(jnp.int32) - HALO_FRONT,
@@ -574,6 +705,8 @@ def _tracker_block_pallas(state: TrackerState,
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),      # tile activity
             pl.BlockSpec((1, TSPAN, CT), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TSPAN, CT), lambda i, j: (j, 0, i),
@@ -588,11 +721,12 @@ def _tracker_block_pallas(state: TrackerState,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(xre_t, xim_t, lvl_sym, jnp.asarray(bip), jnp.asarray(banks),
+    )(act, xre_t, xim_t, lvl_sym, jnp.asarray(bip), jnp.asarray(banks),
       jnp.asarray(tbl), jnp.asarray(eqi), sf0, si0, eq0, win0)
     (sym_re, sym_im, packed, sf, si, eq, win, aux) = results[:8]
 
     final = _unpack_state(sf, si, eq, win, c)
+    final = final._replace(acq_hit=hits)    # carry for the next block
     final = final._replace(
         tau=final.tau + shift.astype(jnp.float32) - (T - HALO))
     p = packed[:num_steps, :c]

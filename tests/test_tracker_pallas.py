@@ -30,7 +30,10 @@ def _assert_state_close(s1, s2, **kw):
 
 def test_noise_block_parity(monkeypatch):
     """Multi-tile geometry (several grid steps) over pure noise: state,
-    outputs, event table and counters must match the scan tracker."""
+    outputs, event table and counters must match the scan tracker.
+    (Acquisition gate off: this pins full-trajectory parity; the gated
+    fast path is pinned separately below.)"""
+    monkeypatch.setenv('DUMPHFDL_ACQ', 'off')
     monkeypatch.setenv('DUMPHFDL_PALLAS_SYMS', '40')   # force 3 time tiles
     nch, steps = 4, 100
     T = steps * 3 + HALO
@@ -134,3 +137,84 @@ def test_channel_step_dispatch_uses_pallas(monkeypatch):
     assert any(e.pdu for e in events)
     ev = next(e for e in events if e.pdu)
     assert ev.mode == 0 and ev.pdu == pdu
+
+
+# ---- block-parallel acquisition gate (VERDICT r3 #1b) ----
+
+def test_acq_prefilter_detects_and_rejects():
+    """acq_hits: >= 0.87 stat on real frames at 3 dB SNR / +-60 Hz CFO
+    (measured, tracker_pallas.py), noise well under the 0.5 threshold."""
+    from dumphfdl_tpu.dsp.tracker_pallas import acq_hits
+    rng = np.random.default_rng(11)
+    pdu = modulator.make_test_mpdu(0, rng)
+    syms = modulator.frame_symbols(pdu, 0)
+    iq = modulator.synthesize_iq(syms, imp=modulator.Impairments(
+        snr_db=3.0, cfo_hz=45.0, timing_offset=0.3, seed=4))
+    n = (len(iq) // 3) * 3
+    noise = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
+        .astype(np.complex64) * 0.1
+    x = np.stack([iq[:n], noise])
+    ast = agc_init(2)
+    _, y, _ = agc_block(ast, jnp.asarray(x))
+    mf = matched_filter(y)
+    hits = np.asarray(acq_hits(mf, 0.5))
+    assert hits.tolist() == [1, 0]
+
+
+def test_gated_idle_parity(monkeypatch):
+    """Gated kernel on pure noise: the idle fast path must be EXACT for
+    everything frame detection depends on (event table, counters, clocks,
+    noise-floor EMA trajectory) vs the scan tracker; timing/costas noise
+    jitter is explicitly not carried (documented no-noise limit)."""
+    monkeypatch.setenv('DUMPHFDL_PALLAS_SYMS', '128')
+    nch, steps = 3, 300
+    T = steps * 3 + HALO
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((nch, T))
+         + 1j * rng.standard_normal((nch, T))).astype(np.complex64) * 0.2
+    lvl = np.abs(rng.standard_normal((nch, T)).astype(np.float32)) + 0.5
+    st = tracker_init(nch)
+    s1, o1, ev1, cnt1 = tracker_block(st, jnp.asarray(x), jnp.asarray(lvl),
+                                      steps)
+    s2, o2, ev2, cnt2 = tracker_block_pallas(st, jnp.asarray(x),
+                                             jnp.asarray(lvl), steps)
+    np.testing.assert_array_equal(np.asarray(ev1), np.asarray(ev2))
+    np.testing.assert_array_equal(np.asarray(cnt1), np.asarray(cnt2))
+    for f in ('abs_symbol', 'out_idx', 'symbol_cnt', 'nf_clk', 'fr_state',
+              'symbols_wanted', 'frame_counter'):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s1, f)), np.asarray(getattr(s2, f)),
+            err_msg=f'state field {f}')
+    np.testing.assert_allclose(np.asarray(s1.noise_floor),
+                               np.asarray(s2.noise_floor), rtol=1e-6)
+    # idle tau follows the nominal no-noise advance and rebases cleanly
+    np.testing.assert_allclose(np.asarray(s2.tau),
+                               np.asarray(st.tau), atol=1e-3)
+    # no data symbols were emitted
+    assert not np.asarray(o2.is_data).any()
+
+
+def test_gated_mixed_tiles_decode(monkeypatch):
+    """A frame on a channel in tile 0, pure noise filling tile 1: the
+    gated kernel must decode the frame identically to the scan tracker
+    while tile 1 takes the idle path."""
+    monkeypatch.setenv('DUMPHFDL_TRACKER', 'pallas')
+    from dumphfdl_tpu.dsp.channel import ChannelBank
+    rng = np.random.default_rng(21)
+    pdu = modulator.make_test_mpdu(1, rng, icao=0x3C0099)
+    syms = modulator.frame_symbols(pdu, 1)
+    iq = modulator.synthesize_iq(
+        syms, imp=modulator.Impairments(snr_db=20.0, cfo_hz=-25.0, seed=9))
+    n = (len(iq) // 3) * 3
+    nch = 130                      # 2 channel tiles
+    x = (rng.standard_normal((nch, n))
+         + 1j * rng.standard_normal((nch, n))).astype(np.complex64) * 0.05
+    x[3, :] = iq[:n]
+    bank = ChannelBank(nch, auto_shard=False)
+    events = bank.process(x)
+    pad = np.zeros((nch, 3 * C.T_LEN * 4), np.complex64)
+    events += bank.process(pad)
+    events += bank.drain_events() if bank.pipeline_events else []
+    good = [e for e in events if e.pdu == pdu and e.channel == 3]
+    assert good, [(e.channel, e.mode) for e in events]
+    assert good[0].fcs_ok
