@@ -126,9 +126,12 @@ freqs = [CENTER + (i - NCH // 2) * SPACING for i in range(NCH)]
 single_slot = [m for m in range(len(C.MODES)) if C.MODES[m].slot == 'S']
 rng = np.random.default_rng(0)
 emissions = []
+emit_by_chan = {}
 for k, ci in enumerate(range(0, NCH, max(1, NCH // 16))):
     mode = single_slot[k % len(single_slot)]
-    emissions.append((modulator.make_test_mpdu(mode, rng), mode, freqs[ci]))
+    pdu = modulator.make_test_mpdu(mode, rng)
+    emissions.append((pdu, mode, freqs[ci]))
+    emit_by_chan[ci] = pdu
 t0 = time.time()
 wb = modulator.synthesize_wideband_fft(emissions, fs=FS, centerfreq=CENTER,
                                        snr_db=30.0)
@@ -145,11 +148,34 @@ outputs.add_output(OutputSpec.parse('decoded:text:file:path=/dev/null'))
 cfg = AppConfig(frequencies=freqs, sample_rate=FS, centerfreq=CENTER)
 app = HfdlApp(cfg, ctx, outputs)
 
+# self-verifying accounting (VERDICT r3 #2): every decoded frame is
+# classified against the emitted set -- FCS-valid + payload match on its
+# emitting channel = ok; FCS-fail = junk (noise false-locks); anything
+# else = other.  The headline only stands when every emitting channel
+# decoded (nearly) every pass.
+from collections import Counter
+match_cnt = Counter()
+counts = {'junk': 0, 'other': 0}
+
+def record(evs):
+    for ev in evs:
+        if ev.pdu is None:
+            continue
+        if not ev.fcs_ok:
+            counts['junk'] += 1
+            continue
+        exp = emit_by_chan.get(ev.channel)
+        if exp is not None and ev.pdu[:len(exp)] == exp:
+            match_cnt[ev.channel] += 1
+        else:
+            counts['other'] += 1
+    return evs
+
 def one_pass():
     fh = io_mod.BytesIO(raw)
     for xd in ingest.uploaded_stream(
             ingest.file_chunks(fh, 'CS16', 1 << 20), 'CS16'):
-        app.handle_events(app.receiver.process(xd))
+        app.handle_events(record(app.receiver.process(xd)))
 
 t0 = time.time()
 for w in range(WARM):       # compile + warm EVERY program variant: first
@@ -162,15 +188,28 @@ for _ in range(PASSES):
     one_pass()
 wall = time.time() - t0
 rt = PASSES * duration / wall
+# coverage over ALL passes (warm + measured); the last frame of a pass
+# can complete in the next pass's first block (device-ring tail), so a
+# fully-covered channel may be short by ~1
+total_passes = WARM + PASSES
+cover_ok = all(match_cnt.get(ci, 0) >= total_passes - 2
+               for ci in emit_by_chan)
+frames_ok = sum(match_cnt.values())
+dup = sum(max(0, n - total_passes) for n in match_cnt.values())
 print(json.dumps({'platform': platform,
                   'e2e_rt_channels': NCH * rt,
                   'wideband_sps': FS * rt,
                   'rt_factor': rt,
                   'channels': NCH,
+                  # accounting balance (all passes incl. warm):
+                  'frames_ok': frames_ok,
+                  'frames_expected_total': total_passes * len(emissions),
+                  'frames_junk': counts['junk'],
+                  'frames_other': counts['other'],
+                  'frames_duplicate': dup,
+                  'coverage_ok': cover_ok,
                   'frames_decoded': app.frames_decoded,
-                  # ~one pass of frames is still in flight in the device
-                  # rings when the clock stops (1 s demod block granularity)
-                  'frames_expected': PASSES * len(emissions)}),
+                  'frames_junk_app': app.frames_junk}),
       flush=True)
 outputs.shutdown()
 '''
@@ -289,7 +328,10 @@ def main() -> int:
                          'msps': round(p['wideband_sps']
                                        / p['rt_factor'] / 1e6, 3)}
                         for p in points]
-    realtime = [p for p in points if p['rt_factor'] >= 1.0]
+    # decode self-verification gates the headline: a point only counts
+    # as real-time if every emitting channel decoded (nearly) every pass
+    realtime = [p for p in points
+                if p['rt_factor'] >= 1.0 and p.get('coverage_ok', True)]
     if realtime:
         best = max(realtime, key=lambda p: p['channels'])
         value = best['channels']
@@ -310,8 +352,10 @@ def main() -> int:
                     f'{e2e_fallback})')
     extras['wideband_msps'] = round(best['wideband_sps'] / 1e6, 3)
     extras['rt_factor'] = round(best['rt_factor'], 2)
-    extras['frames_decoded'] = best['frames_decoded']
-    extras['frames_expected'] = best['frames_expected']
+    for f in ('frames_ok', 'frames_expected_total', 'frames_junk',
+              'frames_other', 'frames_duplicate', 'coverage_ok'):
+        if f in best:
+            extras[f] = best[f]
     print(json.dumps({
         'metric': headline,
         'value': value,

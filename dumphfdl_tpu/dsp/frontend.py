@@ -32,10 +32,15 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# donation is a pure optimization; some experimental PJRT backends (axon
+# tunnel) misbehave with donated buffers -- disable via env var
+_DONATE_FS1 = () if os.environ.get('DUMPHFDL_NO_DONATE') else (8,)
 
 from .. import constants as C
 from ..utils.xfer import device_get, device_put_safe
@@ -324,6 +329,13 @@ class Channelizer:
                     phase0: jax.Array, idxtab: jax.Array, hwin: jax.Array,
                     residual: jax.Array
                     ) -> tuple[jax.Array, jax.Array]:
+        return self._channelize_body(ring, start, n_frames, phase0,
+                                     idxtab, hwin, residual)
+
+    def _channelize_body(self, ring: jax.Array, start: jax.Array,
+                         n_frames: int, phase0: jax.Array, idxtab: jax.Array,
+                         hwin: jax.Array, residual: jax.Array
+                         ) -> tuple[jax.Array, jax.Array]:
         """n_frames overlap-save windows from the wideband ring ->
         (rows, n_frames*post_input_size) fs1 samples + new mixer phase.
 
@@ -364,6 +376,21 @@ class Channelizer:
         cols = (wpos[0, 0] + jnp.arange(chunk.shape[1])) % ring.shape[1]
         return (ring.at[:, cols].set(chunk.astype(ring.dtype)),
                 (wpos + chunk.shape[1]) % ring.shape[1])
+
+    @functools.partial(jax.jit, static_argnums=(0, 3),
+                       donate_argnums=_DONATE_FS1)
+    def _channelize_append(self, ring, start, n_frames: int, phase0,
+                           idxtab, hwin, residual, fs1_ring, fs1_wcur):
+        """_channelize fused with the fs1-ring scatter: the steady-state
+        frontend is ONE dispatch per frame batch instead of two (each
+        dispatch is an RPC round trip on tunneled interconnects,
+        VERDICT r3 #1a)."""
+        out, new_phase, new_start = self._channelize_body(
+            ring, start, n_frames, phase0, idxtab, hwin, residual)
+        cols = (fs1_wcur[0, 0] + jnp.arange(out.shape[1])) % fs1_ring.shape[1]
+        fs1_ring = fs1_ring.at[:, cols].set(out.astype(fs1_ring.dtype))
+        return (fs1_ring, (fs1_wcur + out.shape[1]) % fs1_ring.shape[1],
+                new_phase, new_start)
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _resample(self, ring: jax.Array, bank: jax.Array,
@@ -437,37 +464,93 @@ class Channelizer:
 
     # ---- streaming API ----
 
-    def process_device(self, samples) -> list[jax.Array]:
-        """Feed wideband samples (numpy, or an already-uploaded device
-        array from the prefetching ingest path); returns device-resident
-        (rows, out_chunk) blocks at 5400 sps (>= 0 full chunks; remainder
-        stays buffered on device)."""
-        geo = self.geo
+    def ingest(self, samples) -> None:
+        """Append wideband samples (numpy, or an already-uploaded device
+        array from the prefetching ingest path) to the device ring."""
         if isinstance(samples, jax.Array):
             x = samples
         else:
             x = device_put_safe(np.asarray(samples, np.complex64))
         n = int(x.shape[0])
-        if n:
-            if self._wb_fill + n > self._rw:
-                raise RuntimeError(
-                    f'wideband ring overflow: fill {self._wb_fill} + {n} '
-                    f'> {self._rw} (upload chunk too large for geometry)')
-            self._wb_ring, self._wb_wcur = self._wb_append(
-                self._wb_ring, x, self._wb_wcur)
-            self._wb_fill += n
-        chunks: list[jax.Array] = []
+        if not n:
+            return
+        if self._wb_fill + n > self._rw:
+            raise RuntimeError(
+                f'wideband ring overflow: fill {self._wb_fill} + {n} '
+                f'> {self._rw} (upload chunk too large for geometry)')
+        self._wb_ring, self._wb_wcur = self._wb_append(
+            self._wb_ring, x, self._wb_wcur)
+        self._wb_fill += n
+
+    def channelize_available(self) -> None:
+        """Channelize every complete frame batch straight into the fs1
+        ring (one fused dispatch per batch)."""
+        geo = self.geo
         while (avail := (self._wb_fill - geo.overlap_length)
                 // geo.input_size) > 0:
             # power-of-two batch (bounded compile-shape set, ADVICE r2 #3)
             n_now = 1 << int(np.log2(min(avail, self._max_frames)))
-            out, self._mixer_phase, self._wb_rcur = self._channelize(
-                self._wb_ring, self._wb_rcur, n_now,
-                self._mixer_phase, self._idx, self._hwin, self._residual_dev)
+            n_out = n_now * geo.post_input_size
+            if self._fs1_fill + n_out > self._r1:
+                raise RuntimeError('fs1 ring overflow (consumer stalled)')
+            (self._fs1_ring, self._fs1_wcur, self._mixer_phase,
+             self._wb_rcur) = self._channelize_append(
+                self._wb_ring, self._wb_rcur, n_now, self._mixer_phase,
+                self._idx, self._hwin, self._residual_dev,
+                self._fs1_ring, self._fs1_wcur)
             self._wb_fill -= n_now * geo.input_size
-            self._append_fs1(out)
-            chunks.extend(self._drain_resampler())
-        return chunks
+            self._fs1_fill += n_out
+
+    def process_device(self, samples) -> list[jax.Array]:
+        """Feed wideband samples; returns device-resident
+        (rows, out_chunk) blocks at 5400 sps (>= 0 full chunks; remainder
+        stays buffered on device).  Unfused path -- the production TPU
+        loop instead uses ingest() + channelize_available() + the
+        resample-fused demod step (dsp/channel.py channel_step_fused)."""
+        self.ingest(samples)
+        self.channelize_available()
+        return self._drain_resampler()
+
+    # ---- fused steady-state support (resampler inside the demod step) ----
+
+    @property
+    def fused_ready(self) -> bool:
+        """True when the exact-rational resampler cursor can be carried
+        on device (int32-safe, incl. the a_int*den reconstruction in
+        channel._rs_advance), enabling channel_step_fused."""
+        return bool(self._rs_exact) and self._r1 * self._rs_den < (1 << 30)
+
+    def rs_device_state(self) -> jax.Array:
+        """(3, 1) i32 device cursor [a_frac_num, a_int, rstart] for the
+        fused step; created lazily, then carried by the caller."""
+        if getattr(self, '_rs_dev', None) is None:
+            a_num = (self._out_count * self._rs_num
+                     - self._ring_global_start * self._rs_den)
+            a_int, a_fnum = divmod(a_num, self._rs_den)
+            self._rs_dev = device_put_safe(np.asarray(
+                [[a_fnum], [a_int], [self._fs1_start]], np.int32))
+        return self._rs_dev
+
+    def chunk_ready(self) -> bool:
+        """Enough fs1 samples buffered for one out_chunk resample?"""
+        avail = self._ring_global_start + self._fs1_fill
+        last_pos = (self._out_count + self.out_chunk - 1) * self.ratio
+        return int(np.floor(last_pos)) + self._rs_taps < avail
+
+    def consume_chunk(self, new_rs_state: jax.Array) -> None:
+        """Mirror one fused-step resample in the host bookkeeping (the
+        exact integer arithmetic the device cursor advance performs in
+        channel.py:_rs_advance -- no readback)."""
+        self._rs_dev = new_rs_state
+        self._out_count += self.out_chunk
+        num, den, k = self._rs_num, self._rs_den, self._rs_taps
+        a_num = (self._out_count * num - self._ring_global_start * den)
+        a_int = a_num // den
+        drop = max(0, min(a_int - k, self._fs1_fill))
+        if drop:
+            self._fs1_start = (self._fs1_start + drop) % self._r1
+            self._fs1_fill -= drop
+            self._ring_global_start += drop
 
     def _append_fs1(self, chunk: jax.Array) -> None:
         """Append an (rows, n) fs1 chunk to the device ring."""

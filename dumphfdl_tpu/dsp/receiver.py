@@ -42,11 +42,23 @@ class WidebandReceiver:
                                        out_chunk=self.block_len,
                                        rows=self.bank._c)
         self.sample_clock = 0       # wideband samples consumed
+        # resample-fused steady state (one dispatch + one readback per
+        # demod block, channel.py channel_step_fused): needs the exact
+        # integer resampler cursor, an unsharded bank, and no debug taps
+        self.fused = (self.channelizer.fused_ready
+                      and self.block_len % 3 == 0
+                      and self.bank._sharding is None)
 
     def process(self, wideband: np.ndarray) -> list[FrameEvent]:
         """Feed wideband complex samples; returns completed frames."""
         self.sample_clock += len(wideband)
         events: list[FrameEvent] = []
+        if self.fused and self.bank.dumps is None:
+            self.channelizer.ingest(wideband)
+            self.channelizer.channelize_available()
+            while self.channelizer.chunk_ready():
+                events.extend(self.bank.process_fused(self.channelizer))
+            return events
         for chunk in self.channelizer.process_device(wideband):
             events.extend(self.bank.process(chunk))
         return events

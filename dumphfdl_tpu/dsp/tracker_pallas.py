@@ -431,7 +431,7 @@ def _kernel(num_steps, syms_per_tile, debug_taps,
         return 0
 
     n_this = jnp.minimum(syms_per_tile, num_steps - j * syms_per_tile)
-    active = act_ref[0, 0] != 0
+    active = act_ref[pl.program_id(0), 0] != 0
 
     @pl.when(active)
     def _run_full():
@@ -705,8 +705,7 @@ def _tracker_block_pallas(state: TrackerState,
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.SMEM),      # tile activity
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # tile activity
             pl.BlockSpec((1, TSPAN, CT), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TSPAN, CT), lambda i, j: (j, 0, i),
