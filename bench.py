@@ -145,7 +145,13 @@ ctx = ProtocolContext(systable=SysTable(None), ac_cache=AcCache(),
                       ac_data=None, options=ProtocolOptions())
 outputs = OutputManager(ctx, hwm=0)
 outputs.add_output(OutputSpec.parse('decoded:text:file:path=/dev/null'))
-cfg = AppConfig(frequencies=freqs, sample_rate=FS, centerfreq=CENTER)
+# 3 s demod blocks amortize the fixed per-block dispatch+readback round
+# trip of the tunneled interconnect (the measured r4 throughput wall) at
+# the cost of event latency; the frame-parity invariant allows < 6552
+# symbols with the 4-deep frame buffers
+BLOCK = int(os.environ.get('BENCH_DEMOD_BLOCK', '16200'))
+cfg = AppConfig(frequencies=freqs, sample_rate=FS, centerfreq=CENTER,
+                demod_block_len=BLOCK)
 app = HfdlApp(cfg, ctx, outputs)
 
 # self-verifying accounting (VERDICT r3 #2): every decoded frame is
@@ -171,10 +177,14 @@ def record(evs):
             counts['other'] += 1
     return evs
 
+# large read chunks: every host->device put is an RPC round trip on
+# tunneled interconnects, so fewer+bigger uploads win (r4 measurement)
+READ_CHUNK = int(os.environ.get('BENCH_READ_CHUNK', str(1 << 23)))
+
 def one_pass():
     fh = io_mod.BytesIO(raw)
     for xd in ingest.uploaded_stream(
-            ingest.file_chunks(fh, 'CS16', 1 << 20), 'CS16'):
+            ingest.file_chunks(fh, 'CS16', READ_CHUNK), 'CS16'):
         app.handle_events(record(app.receiver.process(xd)))
 
 t0 = time.time()

@@ -39,6 +39,11 @@ class AppConfig:
     output_queue_hwm: int = 1000
     nf_stats_interval: int = 10
     mesh: str | None = None             # 'TIMExCHAN' device mesh, e.g. '2x4'
+    # demod block length in 5400-sps samples: longer blocks amortize the
+    # fixed per-block dispatch/readback round trip (the throughput wall
+    # on tunneled interconnects) at the cost of event latency; must obey
+    # the frame-parity invariant (< ~6500 symbols with 4 parity slots)
+    demod_block_len: int = 5400
 
 
 def compute_centerfreq(frequencies: list[int], sample_rate: int,
@@ -82,10 +87,11 @@ class HfdlApp:
                         ('time', 'chan'))
             self.receiver = ShardedWidebandReceiver(
                 cfg.sample_rate, self.centerfreq, list(cfg.frequencies),
-                mesh=mesh)
+                mesh=mesh, block_len=cfg.demod_block_len)
         else:
             self.receiver = WidebandReceiver(cfg.sample_rate, self.centerfreq,
-                                             list(cfg.frequencies))
+                                             list(cfg.frequencies),
+                                             block_len=cfg.demod_block_len)
         self.stream_epoch = time_mod.time()
         self.frames_decoded = 0     # FCS-valid frames parsed
         self.frames_junk = 0        # FCS-fail frames (false locks/errors)
@@ -228,6 +234,7 @@ class HfdlApp:
                                               over - last_over)
                     last_over = over
         finally:
+            self.last_ingest_overruns = src.overruns
             src.stop()
             self._stop.set()
         return 0

@@ -32,6 +32,12 @@ DATA_FRAME_LEN = 30             # data symbols per segment
 DATA_FRAME_CNT_SINGLE_SLOT = 72
 DATA_FRAME_CNT_DOUBLE_SLOT = 168
 DATA_SYMBOLS_MAX = DATA_FRAME_CNT_DOUBLE_SLOT * DATA_FRAME_LEN  # 5040
+# depth of the per-channel rotating frame buffers: a completed frame's
+# buffer survives until the (FRAME_PARITY_SLOTS)-th next frame starts
+# writing data, so deeper buffers allow longer demod blocks (the
+# collection window must fit inside (P-1)*SINGLE_SLOT_FRAME_LEN+PREKEY
+# symbols; see channel.ChannelBank._check_block_invariant)
+FRAME_PARITY_SLOTS = 4
 PREAMBLE_LEN = 2 * A_LEN + M1_LEN + M2_LEN + EQ_TRAIN_SEQ_CNT * T_LEN  # 531
 SINGLE_SLOT_FRAME_LEN = (PREKEY_LEN + PREAMBLE_LEN
                          + DATA_FRAME_CNT_SINGLE_SLOT * (DATA_FRAME_LEN + T_LEN))  # 4219

@@ -140,10 +140,41 @@ def _device_fcs_ok(bits: jax.Array) -> jax.Array:
     return fits & (fcs == exp)
 
 
-def decode_events_inline(framebuf: jax.Array, ev_table: jax.Array,
-                         e_max: int) -> jax.Array:
+# data-symbol schedule within a frame: data symbol d sits
+# FIRST_DATA_OFFSET + 45*(d//30) + d%30 symbols after the frame start
+# (30-symbol data halves interleaved with 15-symbol training probes,
+# hfdl.c:54-62 FSM; offsets calibrated exactly in r4 for all 8 modes)
+FIRST_DATA_OFFSET = C.PREKEY_LEN + C.PREAMBLE_LEN        # 979
+
+
+@functools.cache
+def _data_schedule() -> np.ndarray:
+    d = np.arange(C.DATA_SYMBOLS_MAX)
+    return (45 * (d // 30) + d % 30).astype(np.int32)
+
+
+def gather_event_symbols(symring: jax.Array, start22: jax.Array,
+                         base22: jax.Array, ch: jax.Array) -> jax.Array:
+    """(E, DATA_SYMBOLS_MAX) data symbols for events from the contiguous
+    per-channel symbol ring.
+
+    start22/base22: frame-start stream row and the ring's base row, both
+    mod 2^22 (f32-exact on unbounded streams); their difference is the
+    small positive ring offset.  The FSM's post-A2 schedule is rigid, so
+    data positions follow _data_schedule() exactly from the frame start
+    (verified per mode against the tracker's own labels)."""
+    ring_t = symring.shape[1]
+    rel = (start22 - base22) & ((1 << 22) - 1)
+    pos0 = rel + FIRST_DATA_OFFSET
+    pos = jnp.clip(pos0[:, None] + jnp.asarray(_data_schedule())[None, :],
+                   0, ring_t - 1)
+    return symring[ch[:, None], pos]
+
+
+def decode_events_inline(symring: jax.Array, base22: jax.Array,
+                         ev_table: jax.Array, e_max: int) -> jax.Array:
     """Decode up to e_max completed frames straight from the device-side
-    frame buffers + event table (both already in the compute graph).
+    symbol ring + event table (both already in the compute graph).
 
     Returns an (e_max, 2 + PACK_WORDS) int32 matrix: column 0 is the
     flat event-table row the frame came from (-1 = empty slot), column 1
@@ -154,7 +185,7 @@ def decode_events_inline(framebuf: jax.Array, ev_table: jax.Array,
     data-dependent dispatch would force a host round trip).
     """
     from .tracker import EV_FIELDS, K_EVENTS
-    c = framebuf.shape[0]
+    c = symring.shape[0]
     tab = ev_table.reshape(c, K_EVENTS, EV_FIELDS)
     valid = tab[:, :, 0] > 0.5
     flat = jnp.nonzero(valid.ravel(), size=e_max,
@@ -162,10 +193,10 @@ def decode_events_inline(framebuf: jax.Array, ev_table: jax.Array,
     ok = flat < c * K_EVENTS
     ch = jnp.where(ok, flat // K_EVENTS, 0)
     sl = jnp.where(ok, flat % K_EVENTS, 0)
-    parity = jnp.clip(tab[ch, sl, 3].astype(jnp.int32), 0, 1)
     mode = jnp.clip(tab[ch, sl, 1].astype(jnp.int32), 0, len(C.MODES) - 1)
     bmask = tab[ch, sl, 2] > 0.5
-    syms = framebuf[ch, parity]                    # (E, DATA_SYMBOLS_MAX)
+    start22 = tab[ch, sl, 10].astype(jnp.int32)
+    syms = gather_event_symbols(symring, start22, base22, ch)
     per_mode = []
     for m in range(len(C.MODES)):
         p = C.MODES[m]

@@ -109,39 +109,78 @@ class FrameEvent(NamedTuple):
     fcs_ok: bool = False
 
 
-def _scatter_frames(framebuf: jax.Array, outs: TrackerOutputs) -> jax.Array:
-    """Scatter labeled data symbols into (C, 2, DATA_SYMBOLS_MAX) buffers."""
-    t, c = outs.sym.shape
-    ch = jnp.broadcast_to(jnp.arange(c)[None, :], (t, c))
-    idx = jnp.where(outs.is_data, outs.data_idx, C.DATA_SYMBOLS_MAX)  # OOB -> drop
-    return framebuf.at[ch.ravel(), outs.frame_parity.ravel(), idx.ravel()] \
-        .set(outs.sym.ravel(), mode='drop')
+# ---- per-channel symbol ring (the frame sink) ---------------------------
+#
+# Every equalized symbol is appended CONTIGUOUSLY to a per-channel ring
+# (one dynamic_update_slice per block); completed frames are extracted at
+# event time by gathering their data symbols via the rigid post-A2 frame
+# schedule (backend.gather_event_symbols).  The previous design scattered
+# each data symbol into rotating per-frame buffers -- a (T*C)-element
+# arbitrary scatter that measured 240 ms/block at 1024 channels on a v5e
+# (TPU scatters are scalar), dominating the whole demod step; the
+# contiguous append costs ~5 ms and the per-event gather only runs for
+# actual events.
+#
+# Instead of modular wraparound (which would need scatter again), the
+# ring is compacted: when the write cursor would pass RING_T, the last
+# RING_KEEP symbols slide to the front (two fast contiguous copies) and
+# the base row advances.  RING_KEEP covers the deepest lookback: a
+# double-slot frame whose event is collected up to two blocks late.
 
+RING_T = 32768
+MAX_BLOCK_SYMBOLS = 5400            # 16200 samples (3 s) per demod block
+RING_KEEP = C.DOUBLE_SLOT_FRAME_LEN + 2 * MAX_BLOCK_SYMBOLS + 64
 
 _GATHER_BATCH_MIN = 32      # smallest padded gather batch
-_GATHER_BATCH_MAX = 2048    # largest single dispatch (2 events x 1024 ch)
+_GATHER_BATCH_MAX = 2048    # largest single dispatch
 
 
-@jax.jit
-def _gather_frames(framebuf: jax.Array, ch: jax.Array,
-                   parity: jax.Array) -> jax.Array:
-    """Gather selected frames; ch/parity are (B, 1) int32 (2-D so the
-    host->device transfer works on restricted backends).  Returns
-    (B, DATA_SYMBOLS_MAX*2) f32 (interleaved re/im)."""
-    sel = framebuf[ch[:, 0], parity[:, 0]]             # (B, S) complex
-    return jnp.stack([jnp.real(sel), jnp.imag(sel)], axis=-1) \
-        .astype(jnp.float32).reshape(sel.shape[0], -1)
+def _ring_update(symring: jax.Array, ringmeta: jax.Array, sym_tc: jax.Array,
+                 compact: bool):
+    """Append one block of symbols ((C, T) channel-major) at the device
+    write cursor; ringmeta = [[wcur], [base22]] i32.  compact (static,
+    host-decided from its mirrored cursor) slides the kept history to
+    the front first."""
+    c = symring.shape[0]
+    wcur = ringmeta[0, 0]
+    base22 = ringmeta[1, 0]
+    if compact:
+        shift = wcur - RING_KEEP
+        tail = jax.lax.dynamic_slice(symring, (jnp.int32(0), shift),
+                                     (c, RING_KEEP))
+        symring = jax.lax.dynamic_update_slice(symring, tail,
+                                               (jnp.int32(0), jnp.int32(0)))
+        base22 = (base22 + shift) & ((1 << 22) - 1)
+        wcur = jnp.int32(RING_KEEP)
+    symring = jax.lax.dynamic_update_slice(symring, sym_tc,
+                                           (jnp.int32(0), wcur))
+    meta = jnp.stack([(wcur + sym_tc.shape[1])[None], base22[None]])
+    return symring, meta
+
+
+@functools.partial(jax.jit, static_argnames=('mode',))
+def _gather_decode(symring: jax.Array, base22: jax.Array, ch: jax.Array,
+                   start22: jax.Array, bitmask: jax.Array,
+                   mode: int) -> jax.Array:
+    """Gather + decode selected frames of one mode entirely on device:
+    the overflow/CPU event path reads back only the decoded BITS, never
+    the frame symbols."""
+    nsym = C.MODES[mode].num_data_symbols
+    sel = backend.gather_event_symbols(symring, start22[:, 0],
+                                       base22[0, 0], ch[:, 0])[:, :nsym]
+    return backend._decode_core(sel, bitmask[:, 0], mode)
 
 
 # Buffer donation is a pure optimization; some experimental PJRT backends
 # (axon tunnel) misbehave with donated buffers -- disable via env var.
-_DONATE = () if os.environ.get('DUMPHFDL_NO_DONATE') else (0, 1, 2, 3, 4)
+_DONATE = () if os.environ.get('DUMPHFDL_NO_DONATE') else (0, 1, 2, 3, 4, 5)
 _DONATE_FUSED = () if os.environ.get('DUMPHFDL_NO_DONATE') \
-    else (0, 1, 2, 3, 4, 6)
+    else (0, 1, 2, 3, 4, 5, 7)
 
 
-def _channel_step_body(agc_state, tracker_state, framebuf, tail, lvl_tail,
-                       x, num_steps, debug_taps, fused_events):
+def _channel_step_body(agc_state, tracker_state, symring, ringmeta, tail,
+                       lvl_tail, x, num_steps, debug_taps, fused_events,
+                       compact):
     """Shared trace of the fused demod step (see channel_step)."""
     agc_state, y, level = agc_block(agc_state, x)
     mf = matched_filter(y)
@@ -151,37 +190,57 @@ def _channel_step_body(agc_state, tracker_state, framebuf, tail, lvl_tail,
     new_lvl_tail = lvl_ext[:, -HALO:]
     tracker_state, outs, ev_table, counters = tracker_block_auto(
         tracker_state, mf_ext, lvl_ext, num_steps, debug_taps)
-    framebuf = _scatter_frames(framebuf, outs)
+    symring, ringmeta = _ring_update(symring, ringmeta, outs.sym.T, compact)
     readout = ev_table
     if fused_events:
-        decoded = backend.decode_events_inline(framebuf, ev_table,
-                                               fused_events)
+        decoded = backend.decode_events_inline(symring, ringmeta[1, 0],
+                                               ev_table, fused_events)
         readout = jnp.concatenate([
             ev_table.reshape(-1),
             jax.lax.bitcast_convert_type(decoded.reshape(-1), jnp.float32),
         ])
-    return (agc_state, tracker_state, framebuf, new_tail, new_lvl_tail,
-            outs, readout, counters)
+    return (agc_state, tracker_state, symring, ringmeta, new_tail,
+            new_lvl_tail, outs, readout, counters)
 
 
 def _resample_ring(fs1_ring, bank, rs_state, rs_const):
     """Polyphase resample of one out-chunk straight from the channelizer's
-    fs1 ring, positions from the device-carried exact integer cursor
-    (frontend._resample's exact path, inlined into the demod step)."""
+    fs1 ring, positions from the device-carried exact integer cursor.
+
+    TPU-first formulation: with the exact rational ratio num/den, output
+    i and output i+den read the ring exactly `num` samples apart with the
+    SAME fractional phase, so the chunk decomposes into `den` cosets,
+    each a fixed-phase FIR over a stride-`num` slice of one contiguous
+    slab.  That turns the (C, n_out, K) arbitrary gather (measured as
+    the dominant cost of the whole demod step at 1024 channels -- TPU
+    gathers are scalar) into den*K strided slices + FMAs on the VPU."""
     k, num, den, n_out = rs_const
+    m = n_out // den                     # outputs per coset
+    c = fs1_ring.shape[0]
+    r1 = fs1_ring.shape[1]
     a_fnum = rs_state[0, 0]
     a_int = rs_state[1, 0]
     rstart = rs_state[2, 0]
-    tot = a_fnum + jnp.arange(n_out, dtype=jnp.int32) * num
-    base = tot // den
-    frac = (tot - base * den).astype(jnp.float32) / jnp.float32(den)
-    rel = jnp.maximum(a_int + base - (k // 2 - 1), 0)
-    offsets = (rstart + rel) % fs1_ring.shape[1]
-    phases = jnp.round(frac * 64).astype(jnp.int32)
-    win_idx = (offsets[:, None] + jnp.arange(k)[None, :]) % fs1_ring.shape[1]
-    wins = fs1_ring[:, win_idx]                            # (C, n_out, K)
-    taps = bank[phases]                                    # (n_out, K)
-    return jnp.einsum('cok,ok->co', wins, taps)
+    # one contiguous (modular) slab covers every window of the chunk
+    slab_len = m * num + k + 2
+    start = jnp.mod(rstart + a_int - (k // 2 - 1), r1)
+    ring2 = jnp.concatenate([fs1_ring, fs1_ring[:, :slab_len]], axis=1)
+    slab = jax.lax.dynamic_slice(ring2, (jnp.int32(0), start), (c, slab_len))
+    span = (m - 1) * num + 1
+    cosets = []
+    for j in range(den):
+        tj = a_fnum + j * num
+        b_j = tj // den
+        frac_j = (tj - b_j * den).astype(jnp.float32) / jnp.float32(den)
+        taps_j = bank[jnp.round(frac_j * 64).astype(jnp.int32)]   # (K,)
+        acc = jnp.zeros((c, m), slab.dtype)
+        for t in range(k):
+            sl = jax.lax.dynamic_slice(
+                slab, (jnp.int32(0), b_j + t), (c, span))[:, ::num]
+            acc = acc + sl * taps_j[t]
+        cosets.append(acc)
+    # interleave cosets: output i = coset (i % den) sample (i // den)
+    return jnp.stack(cosets, axis=2).reshape(c, n_out)
 
 
 def _rs_advance(rs_state, rs_const, ring_len):
@@ -198,11 +257,12 @@ def _rs_advance(rs_state, rs_const, ring_len):
 
 @functools.partial(jax.jit,
                    static_argnames=('num_steps', 'rs_const', 'debug_taps',
-                                    'fused_events'),
+                                    'fused_events', 'compact'),
                    donate_argnums=_DONATE_FUSED)
 def channel_step_fused(agc_state: AgcState,
                        tracker_state: TrackerState,
-                       framebuf: jax.Array,
+                       symring: jax.Array,
+                       ringmeta: jax.Array,
                        tail: jax.Array,
                        lvl_tail: jax.Array,
                        fs1_ring: jax.Array,
@@ -211,7 +271,8 @@ def channel_step_fused(agc_state: AgcState,
                        num_steps: int,
                        rs_const: tuple,
                        debug_taps: bool = False,
-                       fused_events: int = 0):
+                       fused_events: int = 0,
+                       compact: bool = False):
     """channel_step with the channelizer->5400 sps resampler folded in:
     the steady-state demod loop is ONE dispatch + one readback per block
     (VERDICT r3 #1a; the separate _resample dispatch and its parameter
@@ -222,27 +283,29 @@ def channel_step_fused(agc_state: AgcState,
     cursor, advanced here and mirrored on host by
     Channelizer.consume_chunk."""
     x = _resample_ring(fs1_ring, rs_bank, rs_state, rs_const)
-    out = _channel_step_body(agc_state, tracker_state, framebuf, tail,
-                             lvl_tail, x, num_steps, debug_taps,
-                             fused_events)
+    out = _channel_step_body(agc_state, tracker_state, symring, ringmeta,
+                             tail, lvl_tail, x, num_steps, debug_taps,
+                             fused_events, compact)
     new_rs = _rs_advance(rs_state, rs_const, fs1_ring.shape[1])
     return out + (new_rs,)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('num_steps', 'debug_taps',
-                                    'fused_events'),
+                                    'fused_events', 'compact'),
                    donate_argnums=_DONATE)
 def channel_step(agc_state: AgcState,
                  tracker_state: TrackerState,
-                 framebuf: jax.Array,
+                 symring: jax.Array,
+                 ringmeta: jax.Array,
                  tail: jax.Array,
                  lvl_tail: jax.Array,
                  x: jax.Array,
                  num_steps: int,
                  debug_taps: bool = False,
-                 fused_events: int = 0):
-    """One fused device step: AGC -> MF -> tracker scan -> frame scatter.
+                 fused_events: int = 0,
+                 compact: bool = False):
+    """One fused device step: AGC -> MF -> tracker scan -> ring append.
 
     This is the flagship forward step: everything from normalized samples
     to labeled symbols and filled frame buffers in a single XLA program,
@@ -254,9 +317,9 @@ def channel_step(agc_state: AgcState,
     transfer is one readout buffer: the event table concatenated with
     the packed decoded bits.
     """
-    return _channel_step_body(agc_state, tracker_state, framebuf, tail,
-                              lvl_tail, x, num_steps, debug_taps,
-                              fused_events)
+    return _channel_step_body(agc_state, tracker_state, symring, ringmeta,
+                              tail, lvl_tail, x, num_steps, debug_taps,
+                              fused_events, compact)
 
 
 @dataclasses.dataclass
@@ -290,7 +353,8 @@ class ChannelBank:
     fused_event_decode: int | None = None
     agc_state: AgcState = None
     tracker_state: TrackerState = None
-    framebuf: jax.Array = None
+    symring: jax.Array = None      # (C, RING_T) contiguous symbol history
+    _ringmeta: jax.Array = None    # (2, 1) i32 [wcur, base22], device-carried
     _tail: jax.Array = None        # (C, HALO) input halo (post-MF domain inputs)
     _lvl_tail: jax.Array = None
 
@@ -319,34 +383,38 @@ class ChannelBank:
         c = self._c
         self.agc_state = agc_init(c)
         self.tracker_state = tracker_init(c)
-        self.framebuf = czeros((c, 2, C.DATA_SYMBOLS_MAX))
+        self.symring = czeros((c, RING_T))
+        self._ringmeta = device_put_safe(np.zeros((2, 1), np.int32))
+        self._wcur = 0              # host mirror of the ring write cursor
         self._tail = czeros((c, HALO))
         self._lvl_tail = jnp.ones((c, HALO), dtype=jnp.float32)
         if self._sharding is not None:
             place = lambda t: jax.device_put(t, self._sharding)
             self.agc_state = jax.tree.map(place, self.agc_state)
             self.tracker_state = jax.tree.map(place, self.tracker_state)
-            self.framebuf = place(self.framebuf)
+            self.symring = place(self.symring)
             self._tail = place(self._tail)
             self._lvl_tail = place(self._lvl_tail)
 
     def _check_block_invariant(self, num_steps: int) -> None:
-        # A completed frame's (C, 2, S) parity buffer is safe from reuse
-        # until the NEXT same-parity frame's DATA section begins writing:
-        # at least PREKEY + SINGLE_SLOT_FRAME_LEN symbols after the event
-        # (one opposite-parity frame, then the next frame's prekey +
-        # preamble before its first data symbol).  The collection window
-        # is 1 block (or 2 when event collection is pipelined one block
-        # behind), so the window must fit inside that rewrite distance.
-        span = C.SINGLE_SLOT_FRAME_LEN + C.PREKEY_LEN
-        limit = span // 2 if self.pipeline_events else span
-        if num_steps >= limit:
+        # the symbol ring keeps RING_KEEP rows of history across
+        # compactions; an event's data (up to a double-slot frame back)
+        # must still be resident when it is decoded, up to 2 blocks
+        # after completion when event collection is pipelined
+        if num_steps > MAX_BLOCK_SYMBOLS:
             raise ValueError(
                 f'block of {num_steps * C.SPS} samples ({num_steps} '
-                f'symbols) violates the frame-parity invariant: must be '
-                f'< {limit} symbols ({limit * C.SPS} samples'
-                f'{", pipelined events" if self.pipeline_events else ""}); '
-                f'split the stream into smaller blocks')
+                f'symbols) exceeds the symbol-ring history invariant '
+                f'(max {MAX_BLOCK_SYMBOLS} symbols = '
+                f'{MAX_BLOCK_SYMBOLS * C.SPS} samples); split the '
+                f'stream into smaller blocks')
+
+    def _ring_compact_flag(self, num_steps: int) -> bool:
+        """Host-side compaction decision + cursor mirror (the device
+        performs the identical update in _ring_update)."""
+        compact = self._wcur + num_steps > RING_T
+        self._wcur = (RING_KEEP if compact else self._wcur) + num_steps
+        return compact
 
     def process(self, samples: np.ndarray) -> list[FrameEvent]:
         """Feed a (C, T) block at 5400 sps; returns completed frames."""
@@ -371,11 +439,12 @@ class ChannelBank:
             self.dumps.write('agc_out', device_get(y_dbg))
             self.dumps.write('agc_level', device_get(lvl_dbg))
             self.dumps.write('mf_out', device_get(matched_filter(y_dbg)))
-        (self.agc_state, self.tracker_state, self.framebuf,
+        compact = self._ring_compact_flag(num_steps)
+        (self.agc_state, self.tracker_state, self.symring, self._ringmeta,
          self._tail, self._lvl_tail, outs, ev_table, counters) = channel_step(
-            self.agc_state, self.tracker_state, self.framebuf,
-            self._tail, self._lvl_tail, x, num_steps,
-            self.dumps is not None, self.fused_event_decode)
+            self.agc_state, self.tracker_state, self.symring,
+            self._ringmeta, self._tail, self._lvl_tail, x, num_steps,
+            self.dumps is not None, self.fused_event_decode, compact)
         if self.dumps is not None:
             sym = device_get(outs.sym).T          # (C, T_out)
             self.dumps.write('sym_out', sym)
@@ -396,13 +465,14 @@ class ChannelBank:
         self._check_block_invariant(num_steps)
         rs_const = (chan._rs_taps, chan._rs_num, chan._rs_den,
                     chan.out_chunk)
-        (self.agc_state, self.tracker_state, self.framebuf,
+        compact = self._ring_compact_flag(num_steps)
+        (self.agc_state, self.tracker_state, self.symring, self._ringmeta,
          self._tail, self._lvl_tail, outs, readout, counters,
          new_rs) = channel_step_fused(
-            self.agc_state, self.tracker_state, self.framebuf,
-            self._tail, self._lvl_tail, chan._fs1_ring,
+            self.agc_state, self.tracker_state, self.symring,
+            self._ringmeta, self._tail, self._lvl_tail, chan._fs1_ring,
             chan.rs_device_state(), chan._bank, num_steps, rs_const,
-            False, self.fused_event_decode)
+            False, self.fused_event_decode, compact)
         chan.consume_chunk(new_rs)
         return self._finish_step(readout, counters)
 
@@ -452,7 +522,7 @@ class ChannelBank:
         n_ev = len(chans)
         modes = f[:, 1].astype(np.int64)
         bitmasks = f[:, 2] > 0.5
-        parities = f[:, 3].astype(np.int32)
+        start22s = f[:, 10].astype(np.int32)
         events = [FrameEvent(
             channel=int(chans[i]), mode=int(modes[i]),
             bitmask=bool(bitmasks[i]),
@@ -485,34 +555,35 @@ class ChannelBank:
                     need_gather.append(i)
         if need_gather:
             events = self._decode_by_gather(events, np.asarray(need_gather),
-                                            chans, parities, modes, bitmasks)
+                                            chans, start22s, modes, bitmasks)
         return events
 
-    def _decode_by_gather(self, events, idxs, chans, parities, modes,
+    def _decode_by_gather(self, events, idxs, chans, start22s, modes,
                           bitmasks) -> list[FrameEvent]:
-        """Gather-and-decode path for the given event indices."""
-        n_ev = len(idxs)
-        frames = np.empty((n_ev, C.DATA_SYMBOLS_MAX), np.complex64)
-        for off in range(0, n_ev, _GATHER_BATCH_MAX):
-            n = min(_GATHER_BATCH_MAX, n_ev - off)
-            batch = max(_GATHER_BATCH_MIN, 1 << int(np.ceil(np.log2(n))))
-            ch_pad = np.zeros((batch, 1), np.int32)
-            pa_pad = np.zeros((batch, 1), np.int32)
-            ch_pad[:n, 0] = chans[idxs[off:off + n]]
-            pa_pad[:n, 0] = parities[idxs[off:off + n]]
-            flat = device_get(_gather_frames(
-                self.framebuf, device_put_safe(ch_pad),
-                device_put_safe(pa_pad)))
-            ri = flat.reshape(batch, C.DATA_SYMBOLS_MAX, 2)
-            frames[off:off + n] = ri[:n, :, 0] + 1j * ri[:n, :, 1]
-        # group by mode for batched backend decode (<= 8 static shapes)
+        """On-device gather+decode path for the given event indices,
+        batched per mode (<= 8 modes x log2(batch) compiled shapes);
+        only decoded bits cross back to the host."""
         sub_modes = modes[idxs]
         for mode in np.unique(sub_modes):
             rel = np.nonzero(sub_modes == mode)[0]
-            nsym = C.MODES[mode].num_data_symbols
-            pdus = backend.decode_frames(frames[rel, :nsym],
-                                         bitmasks[idxs[rel]], int(mode))
-            for r, pdu in zip(rel, pdus):
-                events[idxs[r]] = events[idxs[r]]._replace(
-                    pdu=pdu, fcs_ok=crc.pdu_fcs_ok(pdu))
+            fb = C.MODES[mode].framebits
+            for off in range(0, len(rel), _GATHER_BATCH_MAX):
+                n = min(_GATHER_BATCH_MAX, len(rel) - off)
+                sel = idxs[rel[off:off + n]]
+                batch = max(_GATHER_BATCH_MIN,
+                            1 << int(np.ceil(np.log2(n))))
+                ch_pad = np.zeros((batch, 1), np.int32)
+                st_pad = np.zeros((batch, 1), np.int32)
+                bm_pad = np.zeros((batch, 1), np.int32)
+                ch_pad[:n, 0] = chans[sel]
+                st_pad[:n, 0] = start22s[sel]
+                bm_pad[:n, 0] = bitmasks[sel]
+                bits = device_get(_gather_decode(
+                    self.symring, self._ringmeta[1:2], device_put_safe(ch_pad),
+                    device_put_safe(st_pad), device_put_safe(bm_pad),
+                    int(mode)))[:n, :fb]
+                pdus = backend.pdu_bytes_from_bits(bits)
+                for r, pdu in zip(sel, pdus):
+                    events[r] = events[r]._replace(
+                        pdu=pdu, fcs_ok=crc.pdu_fcs_ok(pdu))
         return events

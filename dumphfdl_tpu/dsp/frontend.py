@@ -262,11 +262,15 @@ class Channelizer:
 
         # frame-batch cap: peak per-frame working set is the (B, rows, W)
         # gather+product (x2 for gather result + product before fusion)
-        # plus the (B, N) frames/spectrum pair
-        budget = 256 << 20
+        # plus the (B, N) frames/spectrum pair.  The budget trades HBM
+        # headroom for fewer dispatches (every dispatch is an RPC round
+        # trip on tunneled interconnects); 1 GiB keeps a 1024-channel
+        # batch at <= ~2 channelize dispatches per second of stream
+        # while fitting comfortably in 16 GB HBM.
+        budget = int(os.environ.get('DUMPHFDL_CHZ_BUDGET_MB', '1024')) << 20
         per_frame = 2 * 8 * self.rows * w * L + 2 * 8 * geo.fft_size
-        self._max_frames = max(1, 1 << int(np.log2(
-            max(1, budget // per_frame))))
+        self._max_frames = max(1, min(64, 1 << int(np.log2(
+            max(1, budget // per_frame)))))
 
         from ..utils.xfer import czeros as _czeros
         # wideband ring: fits the largest batch window + a big upload.
@@ -518,7 +522,9 @@ class Channelizer:
         """True when the exact-rational resampler cursor can be carried
         on device (int32-safe, incl. the a_int*den reconstruction in
         channel._rs_advance), enabling channel_step_fused."""
-        return bool(self._rs_exact) and self._r1 * self._rs_den < (1 << 30)
+        return (bool(self._rs_exact)
+                and self._r1 * self._rs_den < (1 << 30)
+                and self.out_chunk % self._rs_den == 0)
 
     def rs_device_state(self) -> jax.Array:
         """(3, 1) i32 device cursor [a_frac_num, a_int, rstart] for the

@@ -139,9 +139,12 @@ class TrackerOutputs(NamedTuple):
 
 
 # event-table geometry shared with dsp/channel.py
-K_EVENTS = 2
-EV_FIELDS = 10   # valid, mode, bitmask, parity, freq_err, rssi, nf,
-                 # train_bad, train_total, start_sym
+K_EVENTS = 4
+EV_FIELDS = 11   # valid, mode, bitmask, parity, freq_err, rssi, nf,
+                 # train_bad, train_total, start_sym, start_sym mod 2^22
+                 # (field 10 stays f32-exact on unbounded streams; field 9
+                 # loses integer exactness past 2^24 symbols ~ 2.6 h and
+                 # is only used for display timestamps)
 
 
 def _init_eq_taps() -> np.ndarray:
@@ -569,11 +572,12 @@ def tracker_block(state: TrackerState,
             jnp.ones_like(upd['freq_err']),
             upd['mode'].astype(jnp.float32),
             flags['ev_bitmask'].astype(jnp.float32),
-            (st.frame_counter & 1).astype(jnp.float32),
+            (st.frame_counter % C.FRAME_PARITY_SLOTS).astype(jnp.float32),
             upd['freq_err'], upd['sig'], nf,
             flags['ev_train_bad'].astype(jnp.float32),
             flags['ev_train_total'].astype(jnp.float32),
             upd['frame_start'].astype(jnp.float32),
+            (upd['frame_start'] & ((1 << 22) - 1)).astype(jnp.float32),
         ], axis=-1)                                   # (C, EV_FIELDS)
         slot = jnp.where(emit, jnp.minimum(ev_count, K_EVENTS), K_EVENTS)
         ev_table = ev_table.at[cidx, slot].set(
@@ -617,7 +621,7 @@ def tracker_block(state: TrackerState,
         )
         outputs = TrackerOutputs(
             sym=y_eq, is_data=in_data, data_idx=out_data_idx,
-            frame_parity=st.frame_counter & 1,
+            frame_parity=st.frame_counter % C.FRAME_PARITY_SLOTS,
             taps=(jnp.stack([dphi, err, st.tau - jnp.floor(st.tau)], axis=-1)
                   if debug_taps else None),
         )

@@ -94,9 +94,9 @@ SF_ROWS = 8
 SI_ROWS = 24
 # eq rows: taps_re 0-15, taps_im 16-31, buf_re 32-47, buf_im 48-63
 EQ_ROWS = 64
-# aux rows: 3 event slots x EV_FIELDS (0-29), counters at 32-35
-AUX_CNT0 = 32
-AUX_ROWS = 40
+# aux rows: K_EVENTS+1 event slots x EV_FIELDS (0-49), counters at 56-59
+AUX_CNT0 = 56
+AUX_ROWS = 64
 WIN_ROWS = 128    # rows 0-126 = bit window (oldest first), row 127 = 0
 
 
@@ -364,11 +364,14 @@ def _kernel(num_steps, syms_per_tile, debug_taps,
         fields = [jnp.ones((1, CT), jnp.float32),
                   upd['mode'].astype(jnp.float32),
                   flags['ev_bitmask'].astype(jnp.float32),
-                  (frame_counter & 1).astype(jnp.float32),
+                  (frame_counter & (C.FRAME_PARITY_SLOTS - 1))
+                  .astype(jnp.float32),
                   upd['freq_err'], upd['sig'], nf,
                   flags['ev_train_bad'].astype(jnp.float32),
                   flags['ev_train_total'].astype(jnp.float32),
-                  upd['frame_start'].astype(jnp.float32)]
+                  upd['frame_start'].astype(jnp.float32),
+                  (upd['frame_start'] & ((1 << 22) - 1))
+                  .astype(jnp.float32)]
         slot = jnp.where(emit, jnp.minimum(ev_count, K_EVENTS), K_EVENTS + 1)
         for s in range(K_EVENTS + 1):
             hit_s = slot == s
@@ -425,8 +428,8 @@ def _kernel(num_steps, syms_per_tile, debug_taps,
             tap_refs[1][pl.ds(t_local, 1), :] = err
             tap_refs[2][pl.ds(t_local, 1), :] = tau - jnp.floor(tau)
         packed = (in_data.astype(jnp.int32)
-                  + 2 * (frame_counter & 1)
-                  + 4 * out_data_idx)
+                  + 2 * (frame_counter & (C.FRAME_PARITY_SLOTS - 1))
+                  + 2 * C.FRAME_PARITY_SLOTS * out_data_idx)
         outi_ref[pl.ds(t_local, 1), :] = packed
         return 0
 
@@ -733,8 +736,8 @@ def _tracker_block_pallas(state: TrackerState,
         sym=(sym_re[:num_steps, :c] + 1j * sym_im[:num_steps, :c])
         .astype(jnp.complex64),
         is_data=(p & 1) != 0,
-        data_idx=p >> 2,
-        frame_parity=(p >> 1) & 1,
+        data_idx=p // (2 * C.FRAME_PARITY_SLOTS),
+        frame_parity=(p >> 1) & (C.FRAME_PARITY_SLOTS - 1),
         taps=(jnp.stack([t[:num_steps, :c] for t in results[8:]], axis=-1)
               if debug_taps else None),
     )

