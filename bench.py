@@ -75,7 +75,7 @@ _DEMOD_CHILD = _PRELUDE + r'''
 from dumphfdl_tpu.dsp.channel import ChannelBank
 from dumphfdl_tpu.utils.prefetch import device_prefetch
 
-num_channels = int(os.environ.get('BENCH_CHANNELS', '128'))
+num_channels = int(os.environ.get('BENCH_CHANNELS', '1024'))
 # 1 s blocks -- the same (128, 5400) demod-step geometry the e2e child
 # runs, so both children share one compiled program (the 2 s blocks of
 # r01/r02 compiled a second mega-kernel variant, which could blow the
@@ -278,13 +278,17 @@ def main() -> int:
     search = [(int(c), int(f)) for c, f in
               (p.split('@') for p in os.environ.get(
                   'BENCH_SEARCH',
-                  '256@2160000,512@2160000,1024@3456000').split(','))]
+                  '512@2160000,1024@3456000,2048@6912000').split(','))]
     points = []
     for nch, fs in search:
+        # larger configs synthesize/compile longer; fewer warm passes
+        # above 1024 ch keep the child inside its watchdog
         r = run_child(_E2E_CHILD, 'e2e_rt_channels', force_cpu=False,
-                      timeout=540,
+                      timeout=700 if nch <= 512 else 1400,
                       extra_env={'BENCH_E2E_CHANNELS': str(nch),
-                                 'BENCH_E2E_FS': str(fs)})
+                                 'BENCH_E2E_FS': str(fs),
+                                 'BENCH_E2E_WARM': '3' if nch <= 1024
+                                 else '2'})
         if r is None:
             break
         points.append(r)

@@ -175,17 +175,20 @@ def select_window_images(kernels_fft: np.ndarray, coarse: np.ndarray,
     response so tightly that w=4 is < -80 dB exact in practice (measured),
     which is below CS16 input quantization."""
     n, d, L = geo.fft_size, geo.decimation, geo.fft_inv_size
-    mags = np.abs(kernels_fft)
-    peak = mags.max() or 1.0
+    peak = float(np.abs(kernels_fft).max()) or 1.0
+    # vectorized over channels (the per-channel np.delete loop took
+    # minutes at 2048 channels x 512k-point FFTs): a window w is big
+    # enough when every above-threshold bin lies inside it, i.e. the
+    # per-channel count of over-threshold bins inside the window equals
+    # the channel's total count
+    over = np.abs(kernels_fft) > threshold * peak          # (C, N) bool
+    tot = over.sum(axis=1)
+    rows = np.arange(kernels_fft.shape[0])[:, None]
     for w in range(2, d, 2):
-        ok = True
-        for c in range(kernels_fft.shape[0]):
-            idx = (int(coarse[c]) - (w // 2) * L + np.arange(w * L)) % n
-            outside = np.delete(mags[c], idx)
-            if outside.size and outside.max() > threshold * peak:
-                ok = False
-                break
-        if ok:
+        idx = (coarse[:, None].astype(np.int64) - (w // 2) * L
+               + np.arange(w * L)[None, :]) % n
+        inside = over[rows, idx].sum(axis=1)
+        if np.array_equal(inside, tot):
             return w
     return d
 
