@@ -42,8 +42,12 @@ class AppConfig:
     # demod block length in 5400-sps samples: longer blocks amortize the
     # fixed per-block dispatch/readback round trip (the throughput wall
     # on tunneled interconnects) at the cost of event latency; must obey
-    # the frame-parity invariant (< ~6500 symbols with 4 parity slots)
+    # the symbol-ring history invariant (<= 5400 symbols)
     demod_block_len: int = 5400
+    # live-stream ingest chunk (wideband samples per upload); None = fs/8
+    # (~0.2 s, low latency).  Every upload is an RPC round trip on
+    # tunneled interconnects, so high-rate configs want ~0.5-1 s chunks.
+    stream_chunk_samples: int | None = None
 
 
 def compute_centerfreq(frequencies: list[int], sample_rate: int,
@@ -211,8 +215,9 @@ class HfdlApp:
         native format is already integer)."""
         from .io import ingest
         self._start_nf_stats()
-        block = max(32768, 1 << int(math.ceil(math.log2(
-            max(self.cfg.sample_rate // 8, 1)))))
+        block = self.cfg.stream_chunk_samples or max(
+            32768, 1 << int(math.ceil(math.log2(
+                max(self.cfg.sample_rate // 8, 1)))))
         src = ingest.StreamIngest(sample_iter, block, stop=self._stop)
         last_over = 0
         if self.cfg.mesh:

@@ -5,12 +5,13 @@ Composition of the device-side stages, batched over channels:
   AGC (scan, liquid agc_crcf behavior, hfdl.c:485-487) ->
   matched filter (batched conv, hfdl.c:148-155,694-695) ->
   tracker scan (timing/costas/EQ/framer, tracker.py) ->
-  frame sink (parity-indexed persistent frame buffers) ->
-  frame backend (descramble/deinterleave/Viterbi, backend.py)
+  contiguous per-channel symbol ring (the frame sink) ->
+  frame backend (event-gather + descramble/deinterleave/Viterbi,
+  backend.py)
 
 State is carried across blocks so arbitrarily long streams decode
-incrementally; a block must be shorter than two frame lengths so the
-two-slot frame-parity buffers never collide (~4 s is safe).
+incrementally; blocks may be up to MAX_BLOCK_SYMBOLS (3 s) so the
+symbol ring always holds every completed frame until it is collected.
 """
 
 from __future__ import annotations
@@ -135,26 +136,29 @@ _GATHER_BATCH_MIN = 32      # smallest padded gather batch
 _GATHER_BATCH_MAX = 2048    # largest single dispatch
 
 
-def _ring_update(symring: jax.Array, ringmeta: jax.Array, sym_tc: jax.Array,
-                 compact: bool):
+def _ring_update(symring: jax.Array, ringmeta: jax.Array, sym_tc: jax.Array):
     """Append one block of symbols ((C, T) channel-major) at the device
-    write cursor; ringmeta = [[wcur], [base22]] i32.  compact (static,
-    host-decided from its mirrored cursor) slides the kept history to
-    the front first."""
+    write cursor; ringmeta = [[wcur], [base22]] i32.  When the block
+    would pass the ring end, the kept history slides to the front first.
+    The slide is BRANCH-FREE (shift=0 copies the prefix onto itself), so
+    one compiled variant serves every block -- a conditional variant
+    would compile mid-stream at the first compaction and stall the live
+    loop (measured as a ~10 s input overrun in the r4 soak)."""
     c = symring.shape[0]
+    t = sym_tc.shape[1]
     wcur = ringmeta[0, 0]
     base22 = ringmeta[1, 0]
-    if compact:
-        shift = wcur - RING_KEEP
-        tail = jax.lax.dynamic_slice(symring, (jnp.int32(0), shift),
-                                     (c, RING_KEEP))
-        symring = jax.lax.dynamic_update_slice(symring, tail,
-                                               (jnp.int32(0), jnp.int32(0)))
-        base22 = (base22 + shift) & ((1 << 22) - 1)
-        wcur = jnp.int32(RING_KEEP)
+    do_c = wcur + t > RING_T
+    shift = jnp.where(do_c, wcur - RING_KEEP, 0)
+    tail = jax.lax.dynamic_slice(symring, (jnp.int32(0), shift),
+                                 (c, RING_KEEP))
+    symring = jax.lax.dynamic_update_slice(symring, tail,
+                                           (jnp.int32(0), jnp.int32(0)))
+    base22 = (base22 + shift) & ((1 << 22) - 1)
+    wcur = jnp.where(do_c, RING_KEEP, wcur)
     symring = jax.lax.dynamic_update_slice(symring, sym_tc,
                                            (jnp.int32(0), wcur))
-    meta = jnp.stack([(wcur + sym_tc.shape[1])[None], base22[None]])
+    meta = jnp.stack([(wcur + t)[None], base22[None]])
     return symring, meta
 
 
@@ -179,8 +183,7 @@ _DONATE_FUSED = () if os.environ.get('DUMPHFDL_NO_DONATE') \
 
 
 def _channel_step_body(agc_state, tracker_state, symring, ringmeta, tail,
-                       lvl_tail, x, num_steps, debug_taps, fused_events,
-                       compact):
+                       lvl_tail, x, num_steps, debug_taps, fused_events):
     """Shared trace of the fused demod step (see channel_step)."""
     agc_state, y, level = agc_block(agc_state, x)
     mf = matched_filter(y)
@@ -190,7 +193,7 @@ def _channel_step_body(agc_state, tracker_state, symring, ringmeta, tail,
     new_lvl_tail = lvl_ext[:, -HALO:]
     tracker_state, outs, ev_table, counters = tracker_block_auto(
         tracker_state, mf_ext, lvl_ext, num_steps, debug_taps)
-    symring, ringmeta = _ring_update(symring, ringmeta, outs.sym.T, compact)
+    symring, ringmeta = _ring_update(symring, ringmeta, outs.sym.T)
     readout = ev_table
     if fused_events:
         decoded = backend.decode_events_inline(symring, ringmeta[1, 0],
@@ -257,7 +260,7 @@ def _rs_advance(rs_state, rs_const, ring_len):
 
 @functools.partial(jax.jit,
                    static_argnames=('num_steps', 'rs_const', 'debug_taps',
-                                    'fused_events', 'compact'),
+                                    'fused_events'),
                    donate_argnums=_DONATE_FUSED)
 def channel_step_fused(agc_state: AgcState,
                        tracker_state: TrackerState,
@@ -271,8 +274,7 @@ def channel_step_fused(agc_state: AgcState,
                        num_steps: int,
                        rs_const: tuple,
                        debug_taps: bool = False,
-                       fused_events: int = 0,
-                       compact: bool = False):
+                       fused_events: int = 0):
     """channel_step with the channelizer->5400 sps resampler folded in:
     the steady-state demod loop is ONE dispatch + one readback per block
     (VERDICT r3 #1a; the separate _resample dispatch and its parameter
@@ -285,14 +287,14 @@ def channel_step_fused(agc_state: AgcState,
     x = _resample_ring(fs1_ring, rs_bank, rs_state, rs_const)
     out = _channel_step_body(agc_state, tracker_state, symring, ringmeta,
                              tail, lvl_tail, x, num_steps, debug_taps,
-                             fused_events, compact)
+                             fused_events)
     new_rs = _rs_advance(rs_state, rs_const, fs1_ring.shape[1])
     return out + (new_rs,)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('num_steps', 'debug_taps',
-                                    'fused_events', 'compact'),
+                                    'fused_events'),
                    donate_argnums=_DONATE)
 def channel_step(agc_state: AgcState,
                  tracker_state: TrackerState,
@@ -303,8 +305,7 @@ def channel_step(agc_state: AgcState,
                  x: jax.Array,
                  num_steps: int,
                  debug_taps: bool = False,
-                 fused_events: int = 0,
-                 compact: bool = False):
+                 fused_events: int = 0):
     """One fused device step: AGC -> MF -> tracker scan -> ring append.
 
     This is the flagship forward step: everything from normalized samples
@@ -319,7 +320,7 @@ def channel_step(agc_state: AgcState,
     """
     return _channel_step_body(agc_state, tracker_state, symring, ringmeta,
                               tail, lvl_tail, x, num_steps, debug_taps,
-                              fused_events, compact)
+                              fused_events)
 
 
 @dataclasses.dataclass
@@ -385,7 +386,6 @@ class ChannelBank:
         self.tracker_state = tracker_init(c)
         self.symring = czeros((c, RING_T))
         self._ringmeta = device_put_safe(np.zeros((2, 1), np.int32))
-        self._wcur = 0              # host mirror of the ring write cursor
         self._tail = czeros((c, HALO))
         self._lvl_tail = jnp.ones((c, HALO), dtype=jnp.float32)
         if self._sharding is not None:
@@ -408,13 +408,6 @@ class ChannelBank:
                 f'(max {MAX_BLOCK_SYMBOLS} symbols = '
                 f'{MAX_BLOCK_SYMBOLS * C.SPS} samples); split the '
                 f'stream into smaller blocks')
-
-    def _ring_compact_flag(self, num_steps: int) -> bool:
-        """Host-side compaction decision + cursor mirror (the device
-        performs the identical update in _ring_update)."""
-        compact = self._wcur + num_steps > RING_T
-        self._wcur = (RING_KEEP if compact else self._wcur) + num_steps
-        return compact
 
     def process(self, samples: np.ndarray) -> list[FrameEvent]:
         """Feed a (C, T) block at 5400 sps; returns completed frames."""
@@ -439,12 +432,11 @@ class ChannelBank:
             self.dumps.write('agc_out', device_get(y_dbg))
             self.dumps.write('agc_level', device_get(lvl_dbg))
             self.dumps.write('mf_out', device_get(matched_filter(y_dbg)))
-        compact = self._ring_compact_flag(num_steps)
         (self.agc_state, self.tracker_state, self.symring, self._ringmeta,
          self._tail, self._lvl_tail, outs, ev_table, counters) = channel_step(
             self.agc_state, self.tracker_state, self.symring,
             self._ringmeta, self._tail, self._lvl_tail, x, num_steps,
-            self.dumps is not None, self.fused_event_decode, compact)
+            self.dumps is not None, self.fused_event_decode)
         if self.dumps is not None:
             sym = device_get(outs.sym).T          # (C, T_out)
             self.dumps.write('sym_out', sym)
@@ -465,14 +457,13 @@ class ChannelBank:
         self._check_block_invariant(num_steps)
         rs_const = (chan._rs_taps, chan._rs_num, chan._rs_den,
                     chan.out_chunk)
-        compact = self._ring_compact_flag(num_steps)
         (self.agc_state, self.tracker_state, self.symring, self._ringmeta,
          self._tail, self._lvl_tail, outs, readout, counters,
          new_rs) = channel_step_fused(
             self.agc_state, self.tracker_state, self.symring,
             self._ringmeta, self._tail, self._lvl_tail, chan._fs1_ring,
             chan.rs_device_state(), chan._bank, num_steps, rs_const,
-            False, self.fused_event_decode, compact)
+            False, self.fused_event_decode)
         chan.consume_chunk(new_rs)
         return self._finish_step(readout, counters)
 

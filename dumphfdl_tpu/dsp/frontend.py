@@ -184,6 +184,7 @@ def select_window_images(kernels_fft: np.ndarray, coarse: np.ndarray,
     over = np.abs(kernels_fft) > threshold * peak          # (C, N) bool
     tot = over.sum(axis=1)
     rows = np.arange(kernels_fft.shape[0])[:, None]
+    coarse = np.asarray(coarse)[:kernels_fft.shape[0]]
     for w in range(2, d, 2):
         idx = (coarse[:, None].astype(np.int64) - (w // 2) * L
                + np.arange(w * L)[None, :]) % n

@@ -66,12 +66,18 @@ def main() -> int:
     ctx = ProtocolContext()
     outputs = OutputManager(ctx, hwm=1000)
     outputs.add_output(OutputSpec.parse('decoded:text:file:path=/dev/null'))
-    cfg = AppConfig(frequencies=freqs, sample_rate=fs, centerfreq=center)
+    cs_cfg = 1 << int(np.ceil(np.log2(max(
+        int(fs * float(os.environ.get('SOAK_STREAM_CHUNK_S', '0.75'))),
+        32768))))
+    cfg = AppConfig(frequencies=freqs, sample_rate=fs, centerfreq=center,
+                    demod_block_len=int(os.environ.get('SOAK_STREAM_BLOCK',
+                                                       '16200')),
+                    stream_chunk_samples=cs_cfg)
     app = HfdlApp(cfg, ctx, outputs)
 
     # real-time paced source: each chunk is released no earlier than its
     # stream time (chunk k covers samples [k*cs, (k+1)*cs))
-    cs = 1 << int(np.ceil(np.log2(fs // 8)))
+    cs = cfg.stream_chunk_samples
     t_start = [None]
     warm_samples = [0]
 
@@ -125,8 +131,15 @@ def main() -> int:
     # first real-time chunks pile up behind XLA compilation and the soak
     # measures compile time as overruns
     print('# warming (compile)...', file=sys.stderr, flush=True)
-    for off in range(0, min(loop_len, 3 * cs), cs):
+    # enough warm stream to run several full demod blocks (the demod
+    # step only fires once a whole block of 5400-sps samples is
+    # buffered; warming less would compile it mid-stream and overrun)
+    warm_need = 3 * cfg.demod_block_len * (fs // C.INTERNAL_RATE + 1)         + 2 * fs
+    k = 0
+    while app.receiver.sample_clock < warm_need:
+        off = (k * cs) % loop_len
         app.handle_events(app.receiver.process(wb[off:off + cs]))
+        k += 1
     warm_samples[0] = app.receiver.sample_clock
 
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
