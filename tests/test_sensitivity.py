@@ -23,21 +23,27 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
 from sensitivity import decode_trial, sweep  # noqa: E402
 
 # (mode, SNR dB that must decode reliably), ALL 8 modes: 300 bps BPSK
-# r=1/4 is the sensitivity champion (100% at 0 dB Es/N0 measured);
-# 1800 bps 8PSK the least robust (drops below 100% at ~4 dB).  Pins sit
-# >=2-3 dB above the measured 100%-pass SNR of 20-trial sweeps with
-# random CFO (+-25 Hz) and fractional timing (modes 1/2 pass 20/20 at
-# 3 dB; modes 4/5/6 at 2 dB; see the r3 sweep in git history), so a
-# single flaky seed cannot mask a real DSP regression.
+# r=1/4 is the sensitivity champion (100% at 0 dB Es/N0 measured).
+# Pins sit >=1-3 dB above the measured 100%-pass SNR of 20-trial sweeps
+# with random CFO (+-25 Hz) and fractional timing (modes 1/2 pass 20/20
+# at 3 dB; modes 4/5/6 at 2 dB; r4 sweep: modes 3/7 pass 20/20 at 5 dB
+# and 19/20 at 4 dB), so a single flaky seed cannot mask a real DSP
+# regression.  The r4 soft-LLR A/B (VERDICT r3 #7) found the 8PSK
+# max-log scaling is NOT a limiter -- scales 32/64/128 decode
+# identically (saturation only hurts from ~200) -- and the measured
+# 8PSK-vs-QPSK threshold gap (~2.5 dB) is already BELOW the ~4-5 dB
+# AWGN coded-modulation gap, i.e. the 1800 bps modes sit at the
+# practical limit of this receiver chain; the old 7/8 dB pins were
+# simply loose and are tightened by 1-2 dB here.
 PINS = [
     (0, 3.0),     # 300 bps single slot, r=1/4
     (1, 4.0),     # 600 bps single slot
     (2, 5.0),     # 1200 bps single slot (QPSK)
-    (3, 7.0),     # 1800 bps single slot (8PSK)
+    (3, 6.0),     # 1800 bps single slot (8PSK)
     (4, 3.0),     # 300 bps double slot, r=1/4
     (5, 4.0),     # 600 bps double slot
     (6, 5.0),     # 1200 bps double slot (QPSK)
-    (7, 8.0),     # 1800 bps double slot (8PSK)
+    (7, 6.0),     # 1800 bps double slot (8PSK)
 ]
 
 
