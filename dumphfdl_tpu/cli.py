@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help='file input buffer size in bytes')
     src.add_argument('--fft-threads', type=int, default=4,
                      help='accepted for compatibility (XLA manages threads)')
+    src.add_argument('--demod-block', type=int, default=5400,
+                     metavar='SAMPLES',
+                     help='demod block length in 5400-sps samples '
+                          '(longer blocks raise throughput on high-'
+                          'latency interconnects at the cost of event '
+                          'latency; max 16200)')
     src.add_argument('--mesh', metavar='TIMExCHAN', default=None,
                      help="multi-chip device mesh, e.g. '2x4': frontend "
                           "FFT work shards over the time axis (halo via "
@@ -181,6 +187,7 @@ def build_app(args) -> HfdlApp:
         output_queue_hwm=hwm,
         nf_stats_interval=args.noise_floor_stats_interval,
         mesh=args.mesh,
+        demod_block_len=args.demod_block,
     )
     app = HfdlApp(cfg, ctx, outputs, statsd=statsd)
     if args.debug:
