@@ -231,34 +231,67 @@ class Channelizer:
         self.out_chunk = out_chunk
 
         geo = self.geo
-        # filter kernels: FFT of complex bandpass taps, zero-padded (DC order)
+        # Filter kernels: FFT of complex bandpass taps, zero-padded (DC
+        # order).  Every channel shares the same lowpass prototype (same
+        # bandwidth); only the spectral shift differs, so the bandpass
+        # build is one outer product instead of a per-channel firdes
+        # loop, and everything runs in ROW CHUNKS of float32: the
+        # full (rows, fft_size) complex matrix is never materialized
+        # (at 2048 channels x 1M-point FFTs it is 17 GB and swapped the
+        # whole process for minutes, also degrading the streaming loop
+        # afterwards; chunked init is seconds and keeps nothing but the
+        # (rows, W) window tables).
         hbw = 0.5 / decimation
-        kernels = np.zeros((self.rows, geo.fft_size), dtype=np.complex64)
-        for i, p in enumerate(self.plans):
-            taps = firdes_bandpass_c(geo.taps_length, -p.shift_rate - hbw,
-                                     -p.shift_rate + hbw)
-            kernels[i, :geo.taps_length] = taps
-        self._kernels_fft_np = np.fft.fft(kernels, axis=1).astype(np.complex64)
+        proto = firdes_lowpass(geo.taps_length, hbw)             # shared
+        centers = -np.asarray(
+            [p.shift_rate for p in self.plans], np.float64)
+        n_t = np.arange(geo.taps_length)
         self._coarse = np.zeros(self.rows, np.int32)
         self._coarse[:self.num_channels] = [p.coarse_bins for p in self.plans]
         self._residual64 = np.zeros(self.rows, np.float64)
         self._residual64[:self.num_channels] = \
             [p.residual_cycles for p in self.plans]
 
-        # bin-window gather tables: channel c reads W = w_img * L bins
-        # centered on its passband; the coarse shift is baked into the
-        # indices so no per-channel roll happens at runtime
+        try:
+            from scipy import fft as _sfft
+            _fft_rows = lambda a: _sfft.fft(a, n=geo.fft_size, axis=1)
+        except ImportError:                     # pragma: no cover
+            _fft_rows = lambda a: np.fft.fft(a, n=geo.fft_size, axis=1) \
+                .astype(np.complex64)
+
+        def _taps_chunk(i, j):
+            return (proto[None, :]
+                    * np.exp(2j * np.pi * centers[i:j, None] * n_t[None, :])
+                    ).astype(np.complex64)
+
+        chunk = max(1, min(self.num_channels, (64 << 20) // (8 * geo.fft_size)))
         L = geo.fft_inv_size
+        n = geo.fft_size
         if window_images is None:
-            window_images = select_window_images(
-                self._kernels_fft_np[:self.num_channels],
-                self._coarse, geo)
+            # smallest even image count whose centered window contains
+            # every above-threshold bin of every channel's kernel FFT
+            # (same criterion as select_window_images, computed per row
+            # without the per-candidate-w loop)
+            threshold = 1e-4
+            w_need = 2
+            for i in range(0, self.num_channels, chunk):
+                f = _fft_rows(_taps_chunk(i, i + chunk))
+                mags = np.abs(f)
+                over = mags > threshold * mags.max()
+                rows_i, bins = np.nonzero(over)
+                rel = (bins - self._coarse[i + rows_i] + n // 2) % n - n // 2
+                half = max(int(np.max(rel)) + 1, int(-np.min(rel)))
+                w_need = max(w_need, 2 * -(-half // L))
+            window_images = w_need
         self.window_images = w = max(2, min(int(window_images), decimation))
         m = np.arange(w * L)
-        idx = (self._coarse[:, None] - (w // 2) * L + m[None, :]) % geo.fft_size
+        idx = (self._coarse[:, None] - (w // 2) * L + m[None, :]) % n
         self._idx_np = idx.astype(np.int32)                    # (rows, W)
-        self._hwin_np = np.take_along_axis(
-            self._kernels_fft_np, idx, axis=1).astype(np.complex64)
+        self._hwin_np = np.zeros((self.rows, w * L), np.complex64)
+        for i in range(0, self.num_channels, chunk):
+            f = _fft_rows(_taps_chunk(i, i + chunk))
+            self._hwin_np[i:i + chunk] = np.take_along_axis(
+                f, idx[i:i + f.shape[0]], axis=1).astype(np.complex64)
         self._idx = device_put_safe(self._idx_np)
         self._hwin = device_put_safe(self._hwin_np)
         self._residual_dev = device_put_safe(
