@@ -345,7 +345,11 @@ def dryrun_multichip(n_devices: int) -> None:
         f'sharded decode mismatch: channels {missing} missing their PDU; '
         f'decoded channels {sorted(got)}')
     # evidence sidecar: per-stage wall time + modeled collective volumes
-    # (VERDICT r3 #6) next to the driver's own MULTICHIP artifact
+    # (VERDICT r3 #6) next to the driver's own MULTICHIP artifact; only
+    # written for explicit-geometry runs so test/driver invocations at
+    # default geometry don't clobber the committed production artifact
+    if not os.environ.get('DUMPHFDL_DRYRUN_CHANNELS'):
+        return
     import json
     detail = {
         'devices': n_devices, 'mesh': dict(mesh.shape),
