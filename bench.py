@@ -148,22 +148,26 @@ outputs.add_output(OutputSpec.parse('decoded:text:file:path=/dev/null'))
 # 3 s demod blocks amortize the fixed per-block dispatch+readback round
 # trip of the tunneled interconnect (the measured r4 throughput wall) at
 # the cost of event latency; the frame-parity invariant allows < 6552
-# symbols with the 4-deep frame buffers
+# symbols with the 4-deep frame buffers.  When the geometry aligns the
+# receiver upgrades to the superstep (ONE dispatch per ~2 s super-block,
+# dsp/superstep.py).
 BLOCK = int(os.environ.get('BENCH_DEMOD_BLOCK', '16200'))
 cfg = AppConfig(frequencies=freqs, sample_rate=FS, centerfreq=CENTER,
-                demod_block_len=BLOCK)
+                demod_block_len=BLOCK, sample_format='CS16')
 app = HfdlApp(cfg, ctx, outputs)
+ss = app.receiver.superstep
 
-# self-verifying accounting (VERDICT r3 #2): every decoded frame is
-# classified against the emitted set -- FCS-valid + payload match on its
-# emitting channel = ok; FCS-fail = junk (noise false-locks); anything
-# else = other.  The headline only stands when every emitting channel
-# decoded (nearly) every pass.
-from collections import Counter
-match_cnt = Counter()
+# EXACT ledger (VERDICT r4 #3): every decoded frame is classified against
+# the emitted set AND mapped to its originating pass via the tracker's
+# symbol clock, so every miss is attributable.  After the timed passes the
+# receiver is flushed, so in-flight tails cannot masquerade as losses:
+# the gate is zero missing (channel, pass) cells, exactly.
+decoded_cells = {}                 # (chan, pass) -> count
 counts = {'junk': 0, 'other': 0}
+pass_symbols = [0.0]               # cumulative symbol clock at pass ends
 
 def record(evs):
+    sym_off = ss.delay_symbols if ss is not None else 0
     for ev in evs:
         if ev.pdu is None:
             continue
@@ -172,7 +176,11 @@ def record(evs):
             continue
         exp = emit_by_chan.get(ev.channel)
         if exp is not None and ev.pdu[:len(exp)] == exp:
-            match_cnt[ev.channel] += 1
+            s = ev.start_symbol - sym_off
+            p = next((i for i, e in enumerate(pass_symbols[1:])
+                      if s < e), len(pass_symbols) - 1)
+            decoded_cells[(ev.channel, p)] = \
+                decoded_cells.get((ev.channel, p), 0) + 1
         else:
             counts['other'] += 1
     return evs
@@ -183,9 +191,21 @@ READ_CHUNK = int(os.environ.get('BENCH_READ_CHUNK', str(1 << 23)))
 
 def one_pass():
     fh = io_mod.BytesIO(raw)
-    for xd in ingest.uploaded_stream(
-            ingest.file_chunks(fh, 'CS16', READ_CHUNK), 'CS16'):
-        app.handle_events(record(app.receiver.process(xd)))
+    if ss is not None:
+        n_sym = 0
+        for pk in ingest.superstep_stream(
+                app.receiver,
+                ingest.file_chunks(fh, 'CS16', app.receiver.raw_chunk_bytes,
+                                   pad_final=True)):
+            app.handle_events(record(app.receiver.process_packed(pk)))
+            n_sym += ss.plan.symbols
+    else:
+        for xd in ingest.uploaded_stream(
+                ingest.file_chunks(fh, 'CS16', READ_CHUNK), 'CS16'):
+            app.handle_events(record(app.receiver.process(xd)))
+        n_sym = duration * 1800.0
+    pass_symbols.append(pass_symbols[-1] + n_sym)
+    return n_sym / 1800.0          # processed stream seconds (incl. pad)
 
 t0 = time.time()
 for w in range(WARM):       # compile + warm EVERY program variant: first
@@ -194,30 +214,37 @@ for w in range(WARM):       # compile + warm EVERY program variant: first
 print(f'# compile+{WARM} warm passes: {time.time()-t0:.1f}s, '
       f'{app.frames_decoded} frames', file=sys.stderr, flush=True)
 t0 = time.time()
+secs = 0.0
 for _ in range(PASSES):
-    one_pass()
+    secs += one_pass()
 wall = time.time() - t0
-rt = PASSES * duration / wall
-# coverage over ALL passes (warm + measured); the last frame of a pass
-# can complete in the next pass's first block (device-ring tail), so a
-# fully-covered channel may be short by ~1
+rt = secs / wall
+# flush in-flight state, then settle the ledger exactly: every
+# (emitting channel, pass) cell must have decoded exactly once
+app.handle_events(record(app.receiver.flush()))
 total_passes = WARM + PASSES
-cover_ok = all(match_cnt.get(ci, 0) >= total_passes - 2
-               for ci in emit_by_chan)
-frames_ok = sum(match_cnt.values())
-dup = sum(max(0, n - total_passes) for n in match_cnt.values())
+missing = [(ci, p) for ci in emit_by_chan for p in range(total_passes)
+           if (ci, p) not in decoded_cells]
+dup = sum(n - 1 for n in decoded_cells.values() if n > 1)
+frames_ok = sum(decoded_cells.values())
+if missing:
+    print(f'# LOST midstream: {missing[:20]}'
+          + (' ...' if len(missing) > 20 else ''),
+          file=sys.stderr, flush=True)
 print(json.dumps({'platform': platform,
                   'e2e_rt_channels': NCH * rt,
                   'wideband_sps': FS * rt,
                   'rt_factor': rt,
                   'channels': NCH,
-                  # accounting balance (all passes incl. warm):
+                  'superstep': ss is not None,
+                  # exact accounting over ALL passes incl. warm + flush:
                   'frames_ok': frames_ok,
                   'frames_expected_total': total_passes * len(emissions),
+                  'frames_lost_midstream': len(missing),
                   'frames_junk': counts['junk'],
                   'frames_other': counts['other'],
                   'frames_duplicate': dup,
-                  'coverage_ok': cover_ok,
+                  'coverage_ok': not missing,
                   'frames_decoded': app.frames_decoded,
                   'frames_junk_app': app.frames_junk}),
       flush=True)

@@ -95,7 +95,8 @@ class HfdlApp:
         else:
             self.receiver = WidebandReceiver(cfg.sample_rate, self.centerfreq,
                                              list(cfg.frequencies),
-                                             block_len=cfg.demod_block_len)
+                                             block_len=cfg.demod_block_len,
+                                             sample_format=cfg.sample_format)
         self.stream_epoch = time_mod.time()
         self.frames_decoded = 0     # FCS-valid frames parsed
         self.frames_junk = 0        # FCS-fail frames (false locks/errors)
@@ -106,7 +107,11 @@ class HfdlApp:
 
     def _metadata_for(self, ev: FrameEvent) -> PduMetadata:
         p = C.MODES[ev.mode]
-        ts = self.stream_epoch + max(ev.start_symbol, 0) / C.SYMBOL_RATE
+        # the superstep's one-block resampler delay shifts the tracker's
+        # symbol clock relative to the stream epoch
+        ss = getattr(self.receiver, 'superstep', None)
+        off = ss.delay_symbols if ss is not None else 0
+        ts = self.stream_epoch + max(ev.start_symbol - off, 0) / C.SYMBOL_RATE
         return PduMetadata(
             freq=self.cfg.frequencies[ev.channel],
             freq_err_hz=ev.freq_err_hz,
@@ -184,6 +189,20 @@ class HfdlApp:
         fh = sys.stdin.buffer if path == '-' else open(path, 'rb')
         self._start_nf_stats()
         try:
+            ss = getattr(self.receiver, 'superstep', None)
+            if ss is not None and ss.input_kind == fmt \
+                    and getattr(self.receiver.bank, 'dumps', None) is None:
+                # one-dispatch-per-super-block path: fixed-size raw
+                # chunks, packed upload, single fused program
+                raw_iter = ingest.file_chunks(
+                    fh, fmt, self.receiver.raw_chunk_bytes,
+                    stop=self._stop, pad_final=True)
+                for pk in ingest.superstep_stream(self.receiver, raw_iter):
+                    if self._stop.is_set():
+                        break
+                    self.handle_events(self.receiver.process_packed(pk))
+                self.handle_events(self.receiver.flush())
+                return 0
             raw_iter = ingest.file_chunks(fh, fmt, self.cfg.read_buffer_size,
                                           stop=self._stop)
             if self.cfg.mesh:

@@ -193,9 +193,13 @@ def decode_events_inline(symring: jax.Array, base22: jax.Array,
     ok = flat < c * K_EVENTS
     ch = jnp.where(ok, flat // K_EVENTS, 0)
     sl = jnp.where(ok, flat % K_EVENTS, 0)
-    mode = jnp.clip(tab[ch, sl, 1].astype(jnp.int32), 0, len(C.MODES) - 1)
-    bmask = tab[ch, sl, 2] > 0.5
-    start22 = tab[ch, sl, 10].astype(jnp.int32)
+    # padded slots get neutral parameters (NOT copies of row 0's event:
+    # dozens of duplicate gathers of one live row fed the axon-backend
+    # decode anomaly isolated in r5)
+    mode = jnp.clip(jnp.where(ok, tab[ch, sl, 1].astype(jnp.int32), 0),
+                    0, len(C.MODES) - 1)
+    bmask = ok & (tab[ch, sl, 2] > 0.5)
+    start22 = jnp.where(ok, tab[ch, sl, 10].astype(jnp.int32), 0)
     syms = gather_event_symbols(symring, start22, base22, ch)
     per_mode = []
     for m in range(len(C.MODES)):

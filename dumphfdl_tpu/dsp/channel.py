@@ -183,7 +183,7 @@ _DONATE_FUSED = () if os.environ.get('DUMPHFDL_NO_DONATE') \
 
 
 def _channel_step_body(agc_state, tracker_state, symring, ringmeta, tail,
-                       lvl_tail, x, num_steps, debug_taps, fused_events):
+                       lvl_tail, x, num_steps, debug_taps):
     """Shared trace of the fused demod step (see channel_step)."""
     agc_state, y, level = agc_block(agc_state, x)
     mf = matched_filter(y)
@@ -194,16 +194,33 @@ def _channel_step_body(agc_state, tracker_state, symring, ringmeta, tail,
     tracker_state, outs, ev_table, counters = tracker_block_auto(
         tracker_state, mf_ext, lvl_ext, num_steps, debug_taps)
     symring, ringmeta = _ring_update(symring, ringmeta, outs.sym.T)
-    readout = ev_table
-    if fused_events:
-        decoded = backend.decode_events_inline(symring, ringmeta[1, 0],
-                                               ev_table, fused_events)
-        readout = jnp.concatenate([
-            ev_table.reshape(-1),
-            jax.lax.bitcast_convert_type(decoded.reshape(-1), jnp.float32),
-        ])
     return (agc_state, tracker_state, symring, ringmeta, new_tail,
-            new_lvl_tail, outs, readout, counters)
+            new_lvl_tail, outs, ev_table, counters)
+
+
+@functools.partial(jax.jit, static_argnames=('e_max',))
+def fused_collect(symring: jax.Array, ringmeta: jax.Array,
+                  ev_table: jax.Array, e_max: int) -> jax.Array:
+    """On-device event decode as its own program: event table + packed
+    decoded bits of up to e_max frames in ONE int32 readout buffer.
+
+    The buffer is INT32, with the f32 event table bitcast into it -- not
+    the decoded words bitcast to f32 -- because raw bit patterns shipped
+    as f32 get data-dependently destroyed on the axon TPU backend: any
+    packed word whose bits happen to form an f32 DENORMAL is flushed to
+    zero somewhere in the f32 compute/copy path (isolated in r5: the
+    int-path read of the same buffer was bit-correct while the f32 read
+    returned 0.0 for exactly the denormal-pattern words, e.g.
+    0x00420507; even the FCS verdict word 0x00000001 is a denormal).
+    Integer lanes have no denormal semantics, so the int route is safe,
+    and bitcasting the *table* is harmless -- its f32 values are
+    reinterpreted, moved as ints, and bitcast back on the host."""
+    decoded = backend.decode_events_inline(symring, ringmeta[1, 0],
+                                           ev_table, e_max)
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(ev_table.reshape(-1), jnp.int32),
+        decoded.reshape(-1),
+    ])
 
 
 def _resample_ring(fs1_ring, bank, rs_state, rs_const):
@@ -259,8 +276,7 @@ def _rs_advance(rs_state, rs_const, ring_len):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('num_steps', 'rs_const', 'debug_taps',
-                                    'fused_events'),
+                   static_argnames=('num_steps', 'rs_const', 'debug_taps'),
                    donate_argnums=_DONATE_FUSED)
 def channel_step_fused(agc_state: AgcState,
                        tracker_state: TrackerState,
@@ -273,8 +289,7 @@ def channel_step_fused(agc_state: AgcState,
                        rs_bank: jax.Array,
                        num_steps: int,
                        rs_const: tuple,
-                       debug_taps: bool = False,
-                       fused_events: int = 0):
+                       debug_taps: bool = False):
     """channel_step with the channelizer->5400 sps resampler folded in:
     the steady-state demod loop is ONE dispatch + one readback per block
     (VERDICT r3 #1a; the separate _resample dispatch and its parameter
@@ -286,15 +301,13 @@ def channel_step_fused(agc_state: AgcState,
     Channelizer.consume_chunk."""
     x = _resample_ring(fs1_ring, rs_bank, rs_state, rs_const)
     out = _channel_step_body(agc_state, tracker_state, symring, ringmeta,
-                             tail, lvl_tail, x, num_steps, debug_taps,
-                             fused_events)
+                             tail, lvl_tail, x, num_steps, debug_taps)
     new_rs = _rs_advance(rs_state, rs_const, fs1_ring.shape[1])
     return out + (new_rs,)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('num_steps', 'debug_taps',
-                                    'fused_events'),
+                   static_argnames=('num_steps', 'debug_taps'),
                    donate_argnums=_DONATE)
 def channel_step(agc_state: AgcState,
                  tracker_state: TrackerState,
@@ -304,23 +317,17 @@ def channel_step(agc_state: AgcState,
                  lvl_tail: jax.Array,
                  x: jax.Array,
                  num_steps: int,
-                 debug_taps: bool = False,
-                 fused_events: int = 0):
+                 debug_taps: bool = False):
     """One fused device step: AGC -> MF -> tracker scan -> ring append.
 
     This is the flagship forward step: everything from normalized samples
     to labeled symbols and filled frame buffers in a single XLA program,
-    with all sequential state donated and carried across calls.
-
-    fused_events > 0 additionally decodes up to that many completed
-    frames IN THIS PROGRAM (descramble -> soft demod -> deinterleave ->
-    Viterbi, backend.decode_events_inline), so the host's only per-block
-    transfer is one readout buffer: the event table concatenated with
-    the packed decoded bits.
+    with all sequential state donated and carried across calls.  Event
+    decode runs as a separate small program (fused_collect) -- see the
+    note there on why it must not be fused in.
     """
     return _channel_step_body(agc_state, tracker_state, symring, ringmeta,
-                              tail, lvl_tail, x, num_steps, debug_taps,
-                              fused_events)
+                              tail, lvl_tail, x, num_steps, debug_taps)
 
 
 @dataclasses.dataclass
@@ -367,6 +374,7 @@ class ChannelBank:
             self.fused_event_decode = \
                 64 if jax.devices()[0].platform == 'tpu' else 0
         if self.mesh is None and self.auto_shard \
+                and not os.environ.get('DUMPHFDL_NO_AUTOSHARD') \
                 and not restricted_backend() \
                 and len(jax.local_devices()) > 1:
             from jax.sharding import Mesh
@@ -436,7 +444,8 @@ class ChannelBank:
          self._tail, self._lvl_tail, outs, ev_table, counters) = channel_step(
             self.agc_state, self.tracker_state, self.symring,
             self._ringmeta, self._tail, self._lvl_tail, x, num_steps,
-            self.dumps is not None, self.fused_event_decode)
+            self.dumps is not None)
+        readout = self._collect_dispatch(ev_table)
         if self.dumps is not None:
             sym = device_get(outs.sym).T          # (C, T_out)
             self.dumps.write('sym_out', sym)
@@ -446,7 +455,7 @@ class ChannelBank:
             self.dumps.write('costas_dphi', taps[:, :, 0].T)
             self.dumps.write('costas_err', taps[:, :, 1].T)
             self.dumps.write('symsync_tau', taps[:, :, 2].T)
-        return self._finish_step(ev_table, counters)
+        return self._finish_step(readout, counters)
 
     def process_fused(self, chan) -> list[FrameEvent]:
         """Consume one out_chunk straight from a Channelizer's fs1 ring:
@@ -458,12 +467,12 @@ class ChannelBank:
         rs_const = (chan._rs_taps, chan._rs_num, chan._rs_den,
                     chan.out_chunk)
         (self.agc_state, self.tracker_state, self.symring, self._ringmeta,
-         self._tail, self._lvl_tail, outs, readout, counters,
+         self._tail, self._lvl_tail, outs, ev_table, counters,
          new_rs) = channel_step_fused(
             self.agc_state, self.tracker_state, self.symring,
             self._ringmeta, self._tail, self._lvl_tail, chan._fs1_ring,
-            chan.rs_device_state(), chan._bank, num_steps, rs_const,
-            False, self.fused_event_decode)
+            chan.rs_device_state(), chan._bank, num_steps, rs_const, False)
+        readout = self._collect_dispatch(ev_table)
         chan.consume_chunk(new_rs)
         return self._finish_step(readout, counters)
 
@@ -482,25 +491,36 @@ class ChannelBank:
         self._pending_ev = None
         return self._collect_events(prev) if prev is not None else []
 
+    def _collect_dispatch(self, ev_table):
+        """Dispatch the standalone event-decode program (fused_collect)
+        for this block's table; plain table readout when the on-device
+        decode is off (CPU path)."""
+        if not self.fused_event_decode:
+            return ev_table
+        return fused_collect(self.symring, self._ringmeta, ev_table,
+                             self.fused_event_decode)
+
     def _collect_events(self, readout) -> list[FrameEvent]:
         """Decode completed frames from the per-block readout.
 
-        Fused path (TPU): `readout` is ONE flat f32 buffer -- the event
-        table followed by bit-cast on-device-decoded frame bits
-        (backend.decode_events_inline) -- so collection costs exactly
-        one transfer.  Plain path: `readout` is the (C, K*F) event
-        table; frame symbols are fetched with one padded on-device
-        gather and decoded in per-mode batches (bounded compiled
-        shapes).  Overflow past the fused capacity falls back to the
-        gather path for the excess events."""
+        Fused path (TPU): `readout` is ONE flat int32 buffer -- the
+        bitcast event table followed by on-device-decoded frame bits
+        (channel.fused_collect; int32 because f32-bitcast words with
+        denormal bit patterns are flushed to zero on the axon backend)
+        -- so collection costs exactly one transfer.  Plain path:
+        `readout` is the (C, K*F) f32 event table; frame symbols are
+        fetched with one padded on-device gather and decoded in
+        per-mode batches (bounded compiled shapes).  Overflow past the
+        fused capacity falls back to the gather path for the excess
+        events."""
         flatlen = self._c * K_EVENTS * EV_FIELDS
         buf = device_get(readout)
         dec = None
         if buf.ndim == 1 and buf.size > flatlen:
-            table = buf[:flatlen].reshape(self._c, K_EVENTS, EV_FIELDS)
-            dec = np.ascontiguousarray(
-                buf[flatlen:].astype(np.float32)).view(np.int32) \
-                .reshape(-1, 2 + backend.PACK_WORDS)
+            buf = np.ascontiguousarray(buf.astype(np.int32, copy=False))
+            table = buf[:flatlen].view(np.float32) \
+                .reshape(self._c, K_EVENTS, EV_FIELDS)
+            dec = buf[flatlen:].reshape(-1, 2 + backend.PACK_WORDS)
         else:
             table = buf.reshape(self._c, K_EVENTS, EV_FIELDS)
         valid = table[:, :, 0] > 0.5

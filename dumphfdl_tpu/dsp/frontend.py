@@ -309,7 +309,6 @@ class Channelizer:
         self._max_frames = max(1, min(64, 1 << int(np.log2(
             max(1, budget // per_frame)))))
 
-        from ..utils.xfer import czeros as _czeros
         # wideband ring: fits the largest batch window + a big upload.
         # ALL ring cursors are carried ON DEVICE as (1, 1) i32 scalars the
         # host never reads back: every jitted step advances its own cursor,
@@ -317,12 +316,12 @@ class Channelizer:
         # host->device put is a round trip on tunneled interconnects --
         # they, not compute, dominated the r2 bench's real-time deficit).
         # The host mirrors fill counts as plain ints for control flow only.
+        # Ring buffers allocate lazily (_ensure_rings): the superstep path
+        # (dsp/superstep.py) carries its own tails and never touches them,
+        # so engaging it must not cost half a GB of idle HBM rings.
         self._rw = 1 << int(np.ceil(np.log2(
             geo.overlap_length + (self._max_frames + 8) * geo.input_size + 1)))
-        self._wb_ring = _czeros((self._rw,))
-        self._wb_wcur = device_put_safe(
-            np.asarray([[geo.overlap_length]], np.int32))  # after seeded tail
-        self._wb_rcur = device_put_safe(np.asarray([[0]], np.int32))
+        self._wb_ring = None
         self._wb_fill = geo.overlap_length   # pre-seeded overlap-save tail
         self._mixer_phase = jnp.zeros(self.rows, dtype=jnp.float32)
 
@@ -348,11 +347,25 @@ class Channelizer:
         need = int(out_chunk * self.ratio) + self._rs_taps \
             + (self._max_frames + 2) * geo.post_input_size + 64
         self._r1 = 1 << int(np.ceil(np.log2(need)))
-        self._fs1_ring = _czeros((self.rows, self._r1))
-        self._fs1_wcur = device_put_safe(np.asarray([[0]], np.int32))
+        self._fs1_ring = None
         self._fs1_start = 0            # ring index of global sample _ring_global_start
         self._fs1_fill = 0             # valid samples in the ring
         self._ring_global_start = 0    # global fs1-sample index at _fs1_start
+
+    def _ensure_rings(self) -> None:
+        """Allocate the device rings on first streaming use (lazy: the
+        superstep path never needs them)."""
+        if self._wb_ring is not None:
+            return
+        from ..utils.xfer import czeros as _czeros
+        geo = self.geo
+        self._wb_ring = _czeros((self._rw,))
+        self._wb_wcur = device_put_safe(
+            np.asarray([[geo.overlap_length]], np.int32))  # after seeded tail
+        self._wb_rcur = device_put_safe(np.asarray([[0]], np.int32))
+        if self._fs1_ring is None:     # the sharded frontend installs its own
+            self._fs1_ring = _czeros((self.rows, self._r1))
+            self._fs1_wcur = device_put_safe(np.asarray([[0]], np.int32))
 
     # ---- device kernels ----
 
@@ -387,13 +400,26 @@ class Channelizer:
         closed-over device arrays as constants via a host round-trip,
         which restricted backends cannot transfer."""
         geo = self.geo
-        w, L, D = self.window_images, geo.fft_inv_size, geo.decimation
         fr = (start[0, 0]
               + jnp.arange(n_frames, dtype=jnp.int32)[:, None] * geo.input_size
               + jnp.arange(geo.fft_size, dtype=jnp.int32)[None, :]) \
             % ring.shape[0]
         frames = ring[fr]                                      # (B, N)
         new_start = (start + n_frames * geo.input_size) % ring.shape[0]
+        out, new_phase = self.ddc_frames(frames, phase0, idxtab, hwin,
+                                         residual)
+        return out, new_phase, new_start
+
+    def ddc_frames(self, frames: jax.Array, phase0: jax.Array,
+                   idxtab: jax.Array, hwin: jax.Array, residual: jax.Array
+                   ) -> tuple[jax.Array, jax.Array]:
+        """Core DDC on explicit (B, fft_size) overlap-save frames ->
+        ((rows, B*post_input_size) fs1 samples, new mixer phase).  Plain
+        traced math shared by the ring path, the offline helper, and the
+        superstep engine (dsp/superstep.py)."""
+        geo = self.geo
+        w, L, D = self.window_images, geo.fft_inv_size, geo.decimation
+        n_frames = frames.shape[0]
         spec = jnp.fft.fft(frames, axis=1)                     # (B, N)
         g = spec[:, idxtab]                                    # (B, rows, W)
         prod = g * hwin[None, :, :]
@@ -409,7 +435,7 @@ class Channelizer:
         ph = phase0[:, None] + residual[:, None] * jnp.arange(n)[None, :]
         out = out * jnp.exp(-2j * jnp.pi * ph)
         new_phase = jnp.mod(phase0 + residual * n, 1.0)
-        return out.astype(jnp.complex64), new_phase, new_start
+        return out.astype(jnp.complex64), new_phase
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _fs1_append(self, ring: jax.Array, chunk: jax.Array,
@@ -488,26 +514,14 @@ class Channelizer:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _channelize_frames_jit(self, frames, phase0, idxtab, hwin, residual):
-        geo = self.geo
-        w, L, D = self.window_images, geo.fft_inv_size, geo.decimation
-        spec = jnp.fft.fft(frames, axis=1)
-        g = spec[:, idxtab]
-        prod = g * hwin[None, :, :]
-        folded = prod.reshape(frames.shape[0], self.rows, w, L).sum(axis=2)
-        time = jnp.fft.ifft(folded, axis=2) / D
-        time = time[:, :, geo.scrap:]
-        out = time.transpose(1, 0, 2).reshape(self.rows, -1)
-        n = out.shape[1]
-        ph = phase0[:, None] + residual[:, None] * jnp.arange(n)[None, :]
-        out = out * jnp.exp(-2j * jnp.pi * ph)
-        new_phase = jnp.mod(phase0 + residual * n, 1.0)
-        return out.astype(jnp.complex64), new_phase
+        return self.ddc_frames(frames, phase0, idxtab, hwin, residual)
 
     # ---- streaming API ----
 
     def ingest(self, samples) -> None:
         """Append wideband samples (numpy, or an already-uploaded device
         array from the prefetching ingest path) to the device ring."""
+        self._ensure_rings()
         if isinstance(samples, jax.Array):
             x = samples
         else:
@@ -597,6 +611,7 @@ class Channelizer:
 
     def _append_fs1(self, chunk: jax.Array) -> None:
         """Append an (rows, n) fs1 chunk to the device ring."""
+        self._ensure_rings()
         n = int(chunk.shape[1])
         if self._fs1_fill + n > self._r1:
             raise RuntimeError('fs1 ring overflow (consumer stalled)')

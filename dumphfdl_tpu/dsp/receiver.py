@@ -32,8 +32,11 @@ class WidebandReceiver:
     centerfreq: int
     frequencies: list[int]          # Hz
     block_len: int = 5400           # 5400-sps samples per demod block
+    # input format of the raw stream (enables the packed superstep path)
+    sample_format: str = 'CF32'
 
     def __post_init__(self):
+        import os
         # events pipeline one block behind so the event-table readback of
         # block N-1 (the loop's only sync point) overlaps block N's compute
         self.bank = ChannelBank(len(self.frequencies), pipeline_events=True)
@@ -48,6 +51,34 @@ class WidebandReceiver:
         self.fused = (self.channelizer.fused_ready
                       and self.block_len % 3 == 0
                       and self.bank._sharding is None)
+        # superstep: the whole steady state (convert -> channelize ->
+        # resample -> demod -> event decode) as ONE dispatch per aligned
+        # super-block (dsp/superstep.py).  Engaged when the geometry
+        # aligns and the caller's block length signals throughput intent
+        # (>= the aligned block); shorter explicit blocks keep the lower-
+        # latency fused path.
+        self.superstep = None
+        if (self.fused and os.environ.get('DUMPHFDL_NO_SUPERSTEP') != '1'):
+            from .superstep import SuperstepEngine, plan_superstep
+            plan = plan_superstep(self.channelizer)
+            if plan is not None and self.block_len >= plan.out_chunk:
+                self.superstep = SuperstepEngine(
+                    self.channelizer, self.bank,
+                    input_kind=self.sample_format)
+
+    @property
+    def raw_chunk_bytes(self) -> int | None:
+        """Exact raw bytes per super-block when the superstep is engaged
+        (the ingest chunker must deliver exactly this much, zero-padding
+        the final chunk)."""
+        return None if self.superstep is None \
+            else self.superstep.raw_chunk_bytes
+
+    def process_packed(self, packed) -> list[FrameEvent]:
+        """Superstep path: one packed upload (superstep.upload) in, the
+        previous super-block's events out."""
+        self.sample_clock += self.superstep.plan.wb_chunk
+        return self.superstep.process_packed(packed)
 
     def process(self, wideband: np.ndarray) -> list[FrameEvent]:
         """Feed wideband complex samples; returns completed frames."""
@@ -70,6 +101,16 @@ class WidebandReceiver:
                      * self.sample_rate / C.INTERNAL_RATE) \
             + 4 * self.channelizer.geo.fft_size
         events: list[FrameEvent] = []
+        if self.superstep is not None:
+            from ..io.formats import silence_byte
+            ss = self.superstep
+            zero = ss.upload(np.full(ss.raw_chunk_bytes,
+                                     silence_byte(ss.input_kind), np.uint8))
+            # +1 block for the superstep's one-block resampler delay
+            for _ in range(-(-pad_wb // ss.plan.wb_chunk) + 1):
+                events.extend(self.process_packed(zero))
+            events.extend(self.bank.drain_events())
+            return events
         step = min(self.sample_rate,
                    self.channelizer._rw - self.channelizer.geo.overlap_length
                    - self.channelizer.geo.input_size)

@@ -22,6 +22,12 @@ def full_scale(fmt: str) -> float:
     return _FULL_SCALE[fmt.upper()]
 
 
+def silence_byte(fmt: str) -> int:
+    """Pad byte representing (near-)zero signal: CU8 is offset-binary, so
+    zero bytes would be a -0.5 DC step (input-helpers.c:96)."""
+    return 64 if fmt.upper() == 'CU8' else 0
+
+
 def convert(raw: bytes | np.ndarray, fmt: str) -> np.ndarray:
     """Raw bytes -> normalized complex64 samples.
 

@@ -48,10 +48,13 @@ def upload(raw, fmt: str) -> jax.Array:
 
 
 def file_chunks(fh, fmt: str, chunk_bytes: int,
-                stop: threading.Event | None = None) -> Iterator[np.ndarray]:
+                stop: threading.Event | None = None,
+                pad_final: bool = False) -> Iterator[np.ndarray]:
     """Read fixed-size raw chunks (accumulating short reads, so pipes
     deliver full blocks like the reference's blocking fread,
-    input-file.c:35-52); the final chunk may be shorter."""
+    input-file.c:35-52); the final chunk may be shorter -- unless
+    pad_final, which silence-pads it to exactly chunk_bytes (for
+    fixed-shape consumers like the superstep)."""
     bps = formats.bytes_per_sample(fmt)
     chunk_bytes = max(bps, chunk_bytes - chunk_bytes % bps)
     pending = b''
@@ -65,7 +68,11 @@ def file_chunks(fh, fmt: str, chunk_bytes: int,
             pending += data
         emit = pending[:len(pending) - len(pending) % bps]
         pending = pending[len(emit):]
-        if emit:
+        if emit and pad_final and len(emit) < chunk_bytes:
+            out = np.full(chunk_bytes, formats.silence_byte(fmt), np.uint8)
+            out[:len(emit)] = np.frombuffer(emit, np.uint8)
+            yield out
+        elif emit:
             yield np.frombuffer(emit, dtype=np.uint8)
 
 
@@ -94,6 +101,36 @@ def uploaded_stream(raw_iter: Iterable, fmt: str, depth: int = 2,
         q.put((SENTINEL, None))
 
     t = threading.Thread(target=worker, daemon=True, name='ingest-upload')
+    t.start()
+    while True:
+        item = q.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is SENTINEL:
+            if item[1] is not None:
+                raise item[1]
+            return
+        yield item
+
+
+def superstep_stream(receiver, raw_iter: Iterable, depth: int = 2
+                     ) -> Iterator[jax.Array]:
+    """Upload thread for the superstep path: each fixed-size raw chunk
+    becomes the packed device array the superstep program consumes (no
+    separate convert dispatch; see SuperstepEngine.upload), `depth` ahead
+    of the consumer."""
+    ss = receiver.superstep
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    SENTINEL = object()
+
+    def worker():
+        try:
+            for raw in raw_iter:
+                q.put(ss.upload(raw))
+        except BaseException as e:
+            q.put((SENTINEL, e))
+            return
+        q.put((SENTINEL, None))
+
+    t = threading.Thread(target=worker, daemon=True, name='ss-upload')
     t.start()
     while True:
         item = q.get()
