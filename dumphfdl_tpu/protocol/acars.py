@@ -170,7 +170,8 @@ def _parse_body(buf: bytes, msg_dir: str, metadata, ctx) -> ProtoNode:
         if child is None and data['label'] == 'MA':
             from . import miam as miam_mod
             child = miam_mod.parse(data['label'], data['text'], use_raw,
-                                   msg_dir=msg_dir, ctx=ctx)
+                                   msg_dir=msg_dir, ctx=ctx,
+                                   reg=data['reg'])
         if child is None and data['text'].startswith('OHMA'):
             from . import ohma as ohma_mod
             child = ohma_mod.parse(data['text'], ctx=ctx)

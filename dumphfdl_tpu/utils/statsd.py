@@ -37,6 +37,12 @@ COUNTERS_PER_MSGDIR = (
     'acars.reasm.duplicate',
     'acars.reasm.out_of_seq',
     'acars.reasm.invalid_args',
+    # MIAM file-transfer reassembly (protocol/miam.py MiamFileReasm)
+    'miam.reasm.complete',
+    'miam.reasm.skipped',
+    'miam.reasm.duplicate',
+    'miam.reasm.out_of_seq',
+    'miam.reasm.invalid_args',
 )
 
 
