@@ -393,8 +393,9 @@ def main() -> int:
                     f'{e2e_fallback})')
     extras['wideband_msps'] = round(best['wideband_sps'] / 1e6, 3)
     extras['rt_factor'] = round(best['rt_factor'], 2)
-    for f in ('frames_ok', 'frames_expected_total', 'frames_junk',
-              'frames_other', 'frames_duplicate', 'coverage_ok'):
+    for f in ('frames_ok', 'frames_expected_total', 'frames_lost_midstream',
+              'frames_junk', 'frames_other', 'frames_duplicate',
+              'coverage_ok', 'superstep'):
         if f in best:
             extras[f] = best[f]
     print(json.dumps({

@@ -331,3 +331,153 @@ def test_fuel_souls_satchannel_pbd_roundtrip():
                   [(22, [(4, (('FIX', None), (0, 180), 100))])])
     assert d['elements'][0]['rendered'] == \
         'REQUEST DIRECT TO [FIX BEARING 180 DEGREES MAGNETIC DISTANCE 100 NM]'
+
+
+# --- exhaustive element coverage (VERDICT r4 #7) ----------------------------
+#
+# Every FANS-1/A element id in both grammars round-trips WITH sample
+# argument values through the encoder/decoder pair; no element of the
+# common set may fall back to the raw-bits rendering.
+
+_LL = (45123, 0, 110456, 1)                    # lat/lon sample
+_PUBID = ('FIX01', None)
+
+_TOKEN_SAMPLES = {
+    'altitude': lambda c: (0, c._ALT_ALTS[0][1] + 1),
+    'speed': lambda c: (0, c._SPEED_ALTS[0][1] + 1),
+    'time': lambda c: (12, 34),
+    'position': lambda c: (0, 'ABCDE'),
+    'distance offset': lambda c: ('nm', 10),
+    'direction': lambda c: 'LEFT',
+    'degrees': lambda c: (False, 90),
+    'frequency': lambda c: (0, 5000),
+    'beacon code': lambda c: '0137',
+    'free text': lambda c: 'FREE TEXT SAMPLE',
+    'icao facility designation': lambda c: 'EPWA',
+    'icao unit name': lambda c: (True, 'WARSAW', 0),
+    'atis code': lambda c: 'A',
+    'altimeter': lambda c: ('hpa', 10132),
+    'vertical rate': lambda c: ('ft', 2000),
+    'leg type': lambda c: ('nm', 10),
+    'to/from': lambda c: 'TO',
+    'distance': lambda c: 100,
+    'error information': lambda c: 0,
+    'version number': lambda c: 1,
+    'procedure name': lambda c: (0, 'OLIL4', None),
+    'remaining fuel': lambda c: (1, 30),
+    'souls': lambda c: 245,
+    'route clearance': lambda c: {
+        'dep': 'EPWA', 'dest': 'EDDF', 'dep_rwy': (33, 0),
+        'route': [('fix', _PUBID), ('latlon', _LL), ('airway', 'UL856')]},
+    'position report': lambda c: {
+        'position': (3, _LL), 'time': (7, 42), 'alt': (0, c._ALT_ALTS[0][1]),
+        'winds': ((270, (0, c._SPEED_ALTS[0][1] + 2))), 'temp': -52},
+    'predeparture clearance': lambda c: {
+        'flt': 'LO123', 'dep': 'EPWA', 'dest': 'EDDF',
+        'remarks': 'NO DELAY EXPECTED'},
+}
+
+
+def _sample_args(c, phraseology):
+    return [_TOKEN_SAMPLES[t](c) for t in c._PLACEHOLDER_RE.findall(
+        phraseology)]
+
+
+def test_every_element_roundtrips_with_args():
+    skipped = []
+    for uplink, table in ((True, cpdlc.UPLINK_MSG),
+                          (False, cpdlc.DOWNLINK_MSG)):
+        for idx, text in (table.items() if isinstance(table, dict)
+                          else enumerate(table)):
+            if not text:
+                continue
+            tokens = cpdlc._PLACEHOLDER_RE.findall(text)
+            if any(t not in _TOKEN_SAMPLES for t in tokens):
+                skipped.append((uplink, idx, tokens))   # 'reserved' only
+                continue
+            args = _sample_args(cpdlc, text)
+            entry = (idx, args) if args else idx
+            buf = cpdlc.encode(uplink=uplink, min_=1, elements=[entry])
+            d = cpdlc.parse(buf, uplink=uplink).data
+            tag = ('uM' if uplink else 'dM') + str(idx)
+            assert not d['err'], (tag, d)
+            assert len(d['elements']) == 1, tag
+            el = d['elements'][0]
+            assert el['id'] == tag
+            assert 'arg_raw' not in el, \
+                f'{tag} fell back to raw bits: {el}'
+            if tokens:
+                assert 'rendered' in el, tag
+                # every placeholder substituted with a decoded value
+                assert el['rendered'].count('[') == len(tokens), tag
+    # the ONLY tolerated gap is the reserved element id
+    assert all(toks == ['reserved'] for _, _, toks in skipped), skipped
+    assert len(skipped) <= 1
+
+
+def test_cr1_cc1_dr1_with_compound_args():
+    """Connect-management payloads carry argument-bearing elements
+    (incl. a full position report) end-to-end."""
+    from dumphfdl_tpu.protocol.acars import _parse_arinc622
+    pr = _TOKEN_SAMPLES['position report'](cpdlc)
+    # dM48 POSITION REPORT [position report]
+    payload = cpdlc.encode(uplink=False, min_=9, elements=[(48, [pr])])
+    text = '/OAKODYA.CR1.HFDLTU'
+    raw = text.encode() + payload + b'\x00\x00'
+    node = _parse_arinc622(text, raw, 'air2gnd')
+    el = node.next.data['elements'][0]
+    assert el['id'] == 'dM48'
+    assert 'arg_raw' not in el
+    assert 'N45' in el['rendered'] or '45.123' in el['rendered'] \
+        or '45123' in el['rendered'].replace('.', '')
+
+
+def test_handbuilt_per_vectors():
+    """Hand-assembled unaligned-PER bit vectors, written out with plain
+    integer arithmetic independent of the module's BitWriter, pin the
+    wire layout of header + choice + constrained ints.
+
+    (No ICAO Doc 10037 published example captures are available in this
+    offline environment; these vectors are derived by hand from the
+    DO-258A ASN.1 layout and check encoder and decoder against a third,
+    independent construction.)"""
+    bits = ''
+    bits += '0'              # mrn ABSENT
+    bits += '0'              # timestamp ABSENT
+    bits += format(1, '06b')          # MIN = 1
+    bits += format(0, '03b')          # 1 element (count-1 = 0)
+    # uplink choice uM20 'CLIMB TO [altitude]'
+    nbits = cpdlc.UPLINK_CHOICE_BITS
+    bits += format(20, f'0{nbits}b')
+    # altitude CHOICE alternative 0, 3-bit index (8 alternatives)
+    bits += format(0, '03b')
+    lo, hi = cpdlc._ALT_ALTS[0][1], cpdlc._ALT_ALTS[0][2]
+    span_bits = (hi - lo).bit_length()
+    bits += format(7, f'0{span_bits}b')            # value = lo + 7
+    pad = (-len(bits)) % 8
+    raw = int(bits + '0' * pad, 2).to_bytes((len(bits) + pad) // 8, 'big')
+    # decoder accepts the hand vector
+    d = cpdlc.parse(raw, uplink=True).data
+    assert not d['err']
+    assert d['min'] == 1
+    el = d['elements'][0]
+    assert el['id'] == 'uM20'
+    assert 'arg_raw' not in el
+    # encoder produces the identical bytes
+    enc = cpdlc.encode(uplink=True, min_=1, elements=[(20, [(0, lo + 7)])])
+    assert enc == raw
+    # WILCO downlink with MRN + timestamp, same independent construction
+    bits = '1'                           # mrn PRESENT
+    bits += '1'                          # timestamp PRESENT
+    bits += format(5, '06b')             # MIN 5
+    bits += format(12, '06b')            # MRN 12
+    bits += format(14, '05b') + format(32, '06b') + format(9, '06b')
+    bits += format(0, '03b')             # one element
+    bits += format(0, f'0{cpdlc.DOWNLINK_CHOICE_BITS}b')   # dM0 WILCO
+    pad = (-len(bits)) % 8
+    raw = int(bits + '0' * pad, 2).to_bytes((len(bits) + pad) // 8, 'big')
+    d = cpdlc.parse(raw, uplink=False).data
+    assert d['min'] == 5 and d['mrn'] == 12 and d['timestamp'] == '14:32:09'
+    assert d['elements'][0]['id'] == 'dM0'
+    assert cpdlc.encode(uplink=False, min_=5, elements=[0], mrn=12,
+                        timestamp=(14, 32, 9)) == raw
