@@ -234,13 +234,35 @@ class HfdlApp:
         native format is already integer)."""
         from .io import ingest
         self._start_nf_stats()
-        block = self.cfg.stream_chunk_samples or max(
-            32768, 1 << int(math.ceil(math.log2(
-                max(self.cfg.sample_rate // 8, 1)))))
-        src = ingest.StreamIngest(sample_iter, block, stop=self._stop)
+        ss = getattr(self.receiver, 'superstep', None)
+        use_ss = (ss is not None and ss.input_kind in ('CF32', 'CS16')
+                  and getattr(self.receiver.bank, 'dumps', None) is None)
+        if use_ss:
+            # superstep live path: fixed super-block cadence straight off
+            # the ingest ring, one fused dispatch per block
+            block = ss.plan.wb_chunk
+        else:
+            block = self.cfg.stream_chunk_samples or max(
+                32768, 1 << int(math.ceil(math.log2(
+                    max(self.cfg.sample_rate // 8, 1)))))
+        src = ingest.StreamIngest(sample_iter, block,
+                                  ring_capacity=4 * block, stop=self._stop)
         last_over = 0
         if self.cfg.mesh:
             stream = src.blocks()       # sharded receiver splits on upload
+        elif use_ss:
+            import numpy as _np
+            from .io import formats as _fmts
+            if ss.input_kind == 'CS16':
+                # quantize live samples to CS16 on the ingest thread:
+                # half the bytes over the interconnect (SDR sources are
+                # natively int16 anyway; see io/soapy_input.py)
+                raw_iter = (_np.frombuffer(_fmts.serialize(b, 'CS16'),
+                                           _np.uint8)
+                            for b in src.blocks())
+            else:
+                raw_iter = (b.view(_np.uint8) for b in src.blocks())
+            stream = ingest.superstep_stream(self.receiver, raw_iter)
         else:
             stream = ingest.uploaded_stream(src.blocks(), 'CF32',
                                             packed=packed)
@@ -248,7 +270,10 @@ class HfdlApp:
             for xd in stream:
                 if self._stop.is_set():
                     break
-                self.handle_events(self.receiver.process(xd))
+                if use_ss:
+                    self.handle_events(self.receiver.process_packed(xd))
+                else:
+                    self.handle_events(self.receiver.process(xd))
                 over = src.overruns
                 if over != last_over:
                     print(f'input: ring overrun, {over - last_over} samples '
@@ -259,6 +284,60 @@ class HfdlApp:
                     last_over = over
         finally:
             self.last_ingest_overruns = src.overruns
+            src.stop()
+            self._stop.set()
+        return 0
+
+    def run_stream_raw(self, raw_iter, sample_format: str | None = None) -> int:
+        """Decode an iterator of RAW sample buffers in the SDR's native
+        width (bytes / uint8 arrays; CS16 = 4 bytes per sample).
+
+        This is the high-rate live path: no host-side float conversion at
+        all -- raw bytes ride a ring, are re-chunked to the superstep
+        cadence, and convert on device inside the fused program.  The
+        ring reuses the lock-free SampleRing with 8-byte slots (the raw
+        stream is VIEWED as complex64 for storage only; the bytes are
+        never interpreted until the device converts them)."""
+        import numpy as _np
+        from .io import formats, ingest
+        fmt = (sample_format or self.cfg.sample_format).upper()
+        ss = getattr(self.receiver, 'superstep', None)
+        if ss is None or ss.input_kind != fmt:
+            # fall back: convert on host and use the generic stream path
+            return self.run_stream(
+                (formats.convert(raw, fmt) for raw in raw_iter))
+        self._start_nf_stats()
+        chunk_bytes = self.receiver.raw_chunk_bytes
+        assert chunk_bytes % 8 == 0
+        slots = chunk_bytes // 8          # 8-byte ring slots
+        bps = formats.bytes_per_sample(fmt)
+
+        def as_slots(raw):
+            b = _np.frombuffer(raw, _np.uint8) if isinstance(
+                raw, (bytes, bytearray, memoryview)) else \
+                _np.asarray(raw, _np.uint8)
+            return b[:len(b) - len(b) % 8].view(_np.complex64)
+
+        src = ingest.StreamIngest((as_slots(r) for r in raw_iter), slots,
+                                  ring_capacity=4 * slots, stop=self._stop)
+        stream = ingest.superstep_stream(
+            self.receiver, (b.view(_np.uint8) for b in src.blocks()))
+        last_over = 0
+        try:
+            for pk in stream:
+                if self._stop.is_set():
+                    break
+                self.handle_events(self.receiver.process_packed(pk))
+                over = src.overruns
+                if over != last_over:
+                    n = (over - last_over) * 8 // bps
+                    print(f'input: ring overrun, {n} samples dropped',
+                          file=sys.stderr)
+                    if self.statsd is not None:
+                        self.statsd.increment('input.overruns', n)
+                    last_over = over
+        finally:
+            self.last_ingest_overruns = src.overruns * 8 // bps
             src.stop()
             self._stop.set()
         return 0

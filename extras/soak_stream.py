@@ -62,6 +62,10 @@ def main() -> int:
     wb = modulator.synthesize_wideband_fft(emissions, fs=fs,
                                            centerfreq=center, snr_db=30.0)
     loop_len = len(wb)
+    fmt = os.environ.get('SOAK_STREAM_FMT', 'CF32').upper()
+    from dumphfdl_tpu.io import formats as fmts_mod
+    wb_raw = np.frombuffer(fmts_mod.serialize(wb, fmt), np.uint8) \
+        if fmt != 'CF32' else None
 
     ctx = ProtocolContext()
     outputs = OutputManager(ctx, hwm=1000)
@@ -72,8 +76,11 @@ def main() -> int:
     cfg = AppConfig(frequencies=freqs, sample_rate=fs, centerfreq=center,
                     demod_block_len=int(os.environ.get('SOAK_STREAM_BLOCK',
                                                        '16200')),
+                    sample_format=os.environ.get('SOAK_STREAM_FMT', 'CF32'),
                     stream_chunk_samples=cs_cfg)
     app = HfdlApp(cfg, ctx, outputs)
+    ss = app.receiver.superstep
+    print(f'# superstep: {ss is not None}', file=sys.stderr, flush=True)
 
     # real-time paced source: each chunk is released no earlier than its
     # stream time (chunk k covers samples [k*cs, (k+1)*cs))
@@ -82,11 +89,21 @@ def main() -> int:
     warm_samples = [0]
 
     def source():
+        # raw mode paces pre-serialized SDR-native byte chunks (zero
+        # per-chunk conversion work, like a real SDR driver buffer)
+        bps = fmts_mod.bytes_per_sample(fmt)
         k = 0
         while True:
-            off = (k * cs) % loop_len
-            chunk = np.concatenate([wb[off:off + cs],
-                                    wb[:max(0, off + cs - loop_len)]])
+            if wb_raw is not None:
+                csb = cs * bps
+                offb = (k * csb) % len(wb_raw)
+                chunk = np.concatenate([
+                    wb_raw[offb:offb + csb],
+                    wb_raw[:max(0, offb + csb - len(wb_raw))]])[:csb]
+            else:
+                off = (k * cs) % loop_len
+                chunk = np.concatenate([wb[off:off + cs],
+                                        wb[:max(0, off + cs - loop_len)]])[:cs]
             if t_start[0] is None:
                 t_start[0] = time.time()
             due = t_start[0] + k * cs / fs
@@ -95,7 +112,7 @@ def main() -> int:
                 time.sleep(delay)
             if time.time() - t_start[0] > seconds:
                 return
-            yield chunk[:cs]
+            yield chunk
             k += 1
 
     latencies = []
@@ -118,7 +135,9 @@ def main() -> int:
             # start_symbol counts from stream start INCLUDING the warm-up
             # samples, which were not paced
             p = C.MODES[ev.mode]
-            end_s = ((ev.start_symbol + p.frame_len_symbols) / C.SYMBOL_RATE
+            sym = ev.start_symbol - (ss.delay_symbols if ss is not None
+                                     else 0)
+            end_s = ((sym + p.frame_len_symbols) / C.SYMBOL_RATE
                      - warm_samples[0] / fs)
             if t_start[0] is not None and end_s > 0:
                 latencies.append(now - (t_start[0] + end_s))
@@ -136,21 +155,38 @@ def main() -> int:
     # buffered; warming less would compile it mid-stream and overrun)
     warm_need = 3 * cfg.demod_block_len * (fs // C.INTERNAL_RATE + 1)         + 2 * fs
     k = 0
-    while app.receiver.sample_clock < warm_need:
-        off = (k * cs) % loop_len
-        app.handle_events(app.receiver.process(wb[off:off + cs]))
-        k += 1
+    if ss is not None:
+        wbz = np.concatenate([wb, wb])
+        while app.receiver.sample_clock < warm_need:
+            off = (k * ss.plan.wb_chunk) % loop_len
+            chunk = wbz[off:off + ss.plan.wb_chunk]
+            app.handle_events(app.receiver.process_packed(
+                ss.upload(np.ascontiguousarray(chunk).view(np.uint8))))
+            k += 1
+    else:
+        while app.receiver.sample_clock < warm_need:
+            off = (k * cs) % loop_len
+            app.handle_events(app.receiver.process(wb[off:off + cs]))
+            k += 1
     warm_samples[0] = app.receiver.sample_clock
 
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     t0 = time.time()
-    app.run_stream(source())
+    if wb_raw is not None:
+        app.run_stream_raw(source(), sample_format=fmt)
+    else:
+        app.run_stream(source())
     wall = time.time() - t0
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
 
     lat = np.asarray(sorted(latencies)) if latencies else np.asarray([0.0])
     out = {
         'metric': 'live-path endurance: real-time paced stream',
+        'mode': os.environ.get('SOAK_STREAM_LABEL',
+                               'superstep' if ss is not None else
+                               f'block={cfg.demod_block_len}'),
+        'superstep': ss is not None,
+        'demod_block_len': cfg.demod_block_len,
         'channels': nch, 'sample_rate': fs,
         'seconds': round(wall, 1),
         'input_overrun_samples': getattr(app, 'last_ingest_overruns', 0),
@@ -166,8 +202,17 @@ def main() -> int:
         'platform': __import__('jax').devices()[0].platform,
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, 'SOAK_STREAM.json'), 'w') as fh:
-        json.dump(out, fh, indent=1)
+    path = os.path.join(repo, os.environ.get('SOAK_STREAM_OUT',
+                                             'SOAK_STREAM.json'))
+    if os.environ.get('SOAK_STREAM_APPEND') and os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        entries = prev if isinstance(prev, list) else [prev]
+        entries.append(out)
+    else:
+        entries = [out]
+    with open(path, 'w') as fh:
+        json.dump(entries if len(entries) > 1 else out, fh, indent=1)
     print(json.dumps(out))
     return 0
 
