@@ -397,7 +397,8 @@ class ChannelBank:
         self._tail = czeros((c, HALO))
         self._lvl_tail = jnp.ones((c, HALO), dtype=jnp.float32)
         if self._sharding is not None:
-            place = lambda t: jax.device_put(t, self._sharding)
+            from ..parallel.sharding import place_global
+            place = lambda t: place_global(t, self._sharding)
             self.agc_state = jax.tree.map(place, self.agc_state)
             self.tracker_state = jax.tree.map(place, self.tracker_state)
             self.symring = place(self.symring)
@@ -428,7 +429,8 @@ class ChannelBank:
                                 samples.shape[1]), np.complex64)
                 samples = np.concatenate([samples, pad], axis=0)
             if self._sharding is not None:
-                x = jax.device_put(samples, self._sharding)
+                from ..parallel.sharding import place_global
+                x = place_global(samples, self._sharding)
             else:
                 x = device_put_safe(samples)
         num_steps = int(x.shape[1] // C.SPS)   # x is the raw block; the
@@ -514,7 +516,8 @@ class ChannelBank:
         fused capacity falls back to the gather path for the excess
         events."""
         flatlen = self._c * K_EVENTS * EV_FIELDS
-        buf = device_get(readout)
+        from ..parallel.sharding import fetch_global
+        buf = fetch_global(readout)
         dec = None
         if buf.ndim == 1 and buf.size > flatlen:
             buf = np.ascontiguousarray(buf.astype(np.int32, copy=False))
@@ -589,9 +592,16 @@ class ChannelBank:
                 ch_pad[:n, 0] = chans[sel]
                 st_pad[:n, 0] = start22s[sel]
                 bm_pad[:n, 0] = bitmasks[sel]
-                bits = device_get(_gather_decode(
-                    self.symring, self._ringmeta[1:2], device_put_safe(ch_pad),
-                    device_put_safe(st_pad), device_put_safe(bm_pad),
+                # cross-process arrays: plain numpy args are treated as
+                # replicated by the multiprocess jit; committed
+                # single-device puts would conflict with the global mesh
+                multi = isinstance(self.symring, jax.Array) \
+                    and not self.symring.is_fully_addressable
+                put = (lambda a: a) if multi else device_put_safe
+                from ..parallel.sharding import fetch_global as _fg
+                bits = _fg(_gather_decode(
+                    self.symring, self._ringmeta[1:2], put(ch_pad),
+                    put(st_pad), put(bm_pad),
                     int(mode)))[:n, :fb]
                 pdus = backend.pdu_bytes_from_bits(bits)
                 for r, pdu in zip(sel, pdus):

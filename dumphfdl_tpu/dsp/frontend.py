@@ -652,8 +652,12 @@ class Channelizer:
                 a_int = int(np.floor(a))
                 params = np.asarray(
                     [[a - a_int], [a_int], [self._fs1_start]], np.float32)
+            multi = isinstance(self._fs1_ring, jax.Array) \
+                and not self._fs1_ring.is_fully_addressable
             chunks.append(self._resample(
-                self._fs1_ring, self._bank, device_put_safe(params),
+                self._fs1_ring, np.asarray(self._bank) if multi
+                else self._bank,
+                params if multi else device_put_safe(params),
                 self.out_chunk))
             self._out_count += self.out_chunk
             # advance the ring read cursor (pure bookkeeping -- the ring is

@@ -42,6 +42,31 @@ from ..dsp.frontend import Channelizer
 from ..dsp.receiver import WidebandReceiver
 
 
+def place_global(x, sharding) -> jax.Array:
+    """device_put that also works on cross-process (non-fully-addressable)
+    meshes: every process contributes its addressable shards from an
+    identical host-local copy (jax.make_array_from_callback)."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array):
+        from ..utils.xfer import device_get
+        x = device_get(x)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def fetch_global(x):
+    """device_get that also works on cross-process arrays: gathers the
+    non-addressable shards from the other processes (every host gets the
+    full array, like each reference instance seeing its own decode)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    from ..utils.xfer import device_get
+    return device_get(x)
+
+
 def make_mesh(devices=None, time_axis: int | None = None) -> Mesh:
     devices = jax.devices() if devices is None else devices
     n = len(devices)
@@ -76,13 +101,13 @@ class ShardedFrontend:
 
         kshard = NamedSharding(mesh, P('chan', None))
         cshard = NamedSharding(mesh, P('chan'))
-        self._idx = jax.device_put(ch._idx_np, kshard)
-        self._hwin = jax.device_put(ch._hwin_np, kshard)
+        self._idx = place_global(ch._idx_np, kshard)
+        self._hwin = place_global(ch._hwin_np, kshard)
         self._residual64 = ch._residual64
-        self._residual_dev = jax.device_put(
+        self._residual_dev = place_global(
             ch._residual64.astype(np.float32), cshard)
         rep = NamedSharding(mesh, P(None))
-        self._tail = jax.device_put(
+        self._tail = place_global(
             np.zeros(geo.overlap_length, np.complex64), rep)
         self._x_shard = NamedSharding(mesh, P('time', None))
         self._ph_shard = NamedSharding(mesh, P('time', 'chan'))
@@ -142,12 +167,12 @@ class ShardedFrontend:
         """x: (super_len,) contiguous wideband samples -> (C_pad, nb_cols)
         narrowband chunk (sharded); updates the carried overlap tail."""
         post = self.ch.geo.post_input_size
-        xs = jax.device_put(
+        xs = place_global(
             np.ascontiguousarray(x.reshape(self.T, self.span)), self._x_shard)
         # per-(shard, channel) start phase in f64 (bounded f32 ramps inside)
         starts = self._nb_count + np.arange(self.T) * self.F * post
         ph0 = np.mod(self._residual64[None, :] * starts[:, None], 1.0)
-        ph0 = jax.device_put(ph0.astype(np.float32), self._ph_shard)
+        ph0 = place_global(ph0.astype(np.float32), self._ph_shard)
         nb, self._tail = self._step(xs, self._tail, self._idx, self._hwin,
                                     self._residual_dev, ph0)
         self._nb_count += self.T * self.F * post
@@ -184,9 +209,9 @@ class ShardedWidebandReceiver(WidebandReceiver):
         need = int(ch.out_chunk * ch.ratio) + ch._rs_taps \
             + 2 * self.frontend.nb_cols + 64
         ch._r1 = 1 << int(np.ceil(np.log2(need)))
-        ch._fs1_ring = jax.device_put(
+        ch._fs1_ring = place_global(
             np.zeros((c_pad, ch._r1), np.complex64), shard2d)
-        ch._fs1_wcur = jax.device_put(
+        ch._fs1_wcur = place_global(
             np.asarray([[0]], np.int32), NamedSharding(self.mesh, P()))
         ch._fs1_start = 0
         ch._fs1_fill = 0
