@@ -214,9 +214,27 @@ def fused_collect(symring: jax.Array, ringmeta: jax.Array,
     0x00420507; even the FCS verdict word 0x00000001 is a denormal).
     Integer lanes have no denormal semantics, so the int route is safe,
     and bitcasting the *table* is harmless -- its f32 values are
-    reinterpreted, moved as ints, and bitcast back on the host."""
-    decoded = backend.decode_events_inline(symring, ringmeta[1, 0],
-                                           ev_table, e_max)
+    reinterpreted, moved as ints, and bitcast back on the host.
+
+    The all-modes decode rides a real XLA conditional gated on the
+    block having ANY events: idle channels dominate production blocks,
+    and the decoder's 8-mode batch is the expensive part of this
+    program (the reference's analogue: the PDU decoder thread sleeps
+    until a frame arrives, pdu.c:91)."""
+    c = symring.shape[0]
+    tab = ev_table.reshape(c, K_EVENTS * EV_FIELDS)
+    any_events = jnp.any(
+        tab.reshape(c, K_EVENTS, EV_FIELDS)[:, :, 0] > 0.5)
+
+    def decode(_):
+        return backend.decode_events_inline(symring, ringmeta[1, 0],
+                                            ev_table, e_max)
+
+    def empty(_):
+        out = jnp.zeros((e_max, 2 + backend.PACK_WORDS), jnp.int32)
+        return out.at[:, 0].set(-1)
+
+    decoded = jax.lax.cond(any_events, decode, empty, operand=None)
     return jnp.concatenate([
         jax.lax.bitcast_convert_type(ev_table.reshape(-1), jnp.int32),
         decoded.reshape(-1),
