@@ -115,6 +115,7 @@ from dumphfdl_tpu.protocol.enrichment import AcCache, SysTable
 
 FS = int(os.environ.get('BENCH_E2E_FS', '2160000'))        # 400 x 5400
 NCH = int(os.environ.get('BENCH_E2E_CHANNELS', '256'))
+FMT = os.environ.get('BENCH_E2E_FMT', 'CS16').upper()
 PASSES = int(os.environ.get('BENCH_E2E_PASSES', '4'))
 WARM = int(os.environ.get('BENCH_E2E_WARM', '3'))
 CENTER = 10_000_000
@@ -135,11 +136,13 @@ for k, ci in enumerate(range(0, NCH, max(1, NCH // 16))):
 t0 = time.time()
 wb = modulator.synthesize_wideband_fft(emissions, fs=FS, centerfreq=CENTER,
                                        snr_db=30.0)
-raw = fmts.serialize(wb, 'CS16')
-n_samples = len(wb)
+raw = fmts.serialize(wb, FMT)
+del wb
+n_samples = len(raw) // fmts.bytes_per_sample(FMT)
 duration = n_samples / FS
-print(f'# capture: {duration:.2f}s x {FS/1e6:.3f} Msps, {len(emissions)} '
-      f'frames, synth {time.time()-t0:.1f}s', file=sys.stderr, flush=True)
+print(f'# capture: {duration:.2f}s x {FS/1e6:.3f} Msps ({FMT}), '
+      f'{len(emissions)} frames, synth {time.time()-t0:.1f}s',
+      file=sys.stderr, flush=True)
 
 ctx = ProtocolContext(systable=SysTable(None), ac_cache=AcCache(),
                       ac_data=None, options=ProtocolOptions())
@@ -153,7 +156,7 @@ outputs.add_output(OutputSpec.parse('decoded:text:file:path=/dev/null'))
 # dsp/superstep.py).
 BLOCK = int(os.environ.get('BENCH_DEMOD_BLOCK', '16200'))
 cfg = AppConfig(frequencies=freqs, sample_rate=FS, centerfreq=CENTER,
-                demod_block_len=BLOCK, sample_format='CS16')
+                demod_block_len=BLOCK, sample_format=FMT)
 app = HfdlApp(cfg, ctx, outputs)
 ss = app.receiver.superstep
 
@@ -195,13 +198,13 @@ def one_pass():
         n_sym = 0
         for pk in ingest.superstep_stream(
                 app.receiver,
-                ingest.file_chunks(fh, 'CS16', app.receiver.raw_chunk_bytes,
+                ingest.file_chunks(fh, FMT, app.receiver.raw_chunk_bytes,
                                    pad_final=True)):
             app.handle_events(record(app.receiver.process_packed(pk)))
             n_sym += ss.plan.symbols
     else:
         for xd in ingest.uploaded_stream(
-                ingest.file_chunks(fh, 'CS16', READ_CHUNK), 'CS16'):
+                ingest.file_chunks(fh, FMT, READ_CHUNK), FMT):
             app.handle_events(record(app.receiver.process(xd)))
         n_sym = duration * 1800.0
     pass_symbols.append(pass_symbols[-1] + n_sym)
@@ -236,6 +239,7 @@ print(json.dumps({'platform': platform,
                   'wideband_sps': FS * rt,
                   'rt_factor': rt,
                   'channels': NCH,
+                  'sample_format': FMT,
                   'superstep': ss is not None,
                   # exact accounting over ALL passes incl. warm + flush:
                   'frames_ok': frames_ok,
@@ -302,18 +306,28 @@ def main() -> int:
     # >= 3.07 MHz of spectrum); the headline is the largest configuration
     # that is MEASURED real-time (rt >= 1.0), never an extrapolation from
     # a sub-real-time run.
-    search = [(int(c), int(f)) for c, f in
-              (p.split('@') for p in os.environ.get(
-                  'BENCH_SEARCH',
-                  '512@2160000,1024@3456000,2048@6912000').split(','))]
+    # per-point sample format: the 4096-channel rung rides CU8 (the
+    # RTL-SDR native 8-bit format the reference ingests too,
+    # input-helpers.c:94-105) because the tunneled interconnect is
+    # transfer-bound past 2048 channels while the chip itself measures
+    # ~5x real time there; the exact decode ledger still gates the point
+    search = []
+    for p_ in os.environ.get(
+            'BENCH_SEARCH',
+            '512@2160000,1024@3456000,2048@6912000,'
+            '4096@13824000@CU8').split(','):
+        parts = p_.split('@')
+        search.append((int(parts[0]), int(parts[1]),
+                       parts[2] if len(parts) > 2 else 'CS16'))
     points = []
-    for nch, fs in search:
+    for nch, fs, fmt in search:
         # larger configs synthesize/compile longer; fewer warm passes
         # above 1024 ch keep the child inside its watchdog
         r = run_child(_E2E_CHILD, 'e2e_rt_channels', force_cpu=False,
-                      timeout=700 if nch <= 512 else 1400,
+                      timeout=700 if nch <= 512 else 2100,
                       extra_env={'BENCH_E2E_CHANNELS': str(nch),
                                  'BENCH_E2E_FS': str(fs),
+                                 'BENCH_E2E_FMT': fmt,
                                  'BENCH_E2E_WARM': '3' if nch <= 1024
                                  else '2'})
         if r is None:
@@ -367,7 +381,8 @@ def main() -> int:
     extras['search'] = [{'channels': p['channels'],
                          'rt_factor': round(p['rt_factor'], 2),
                          'msps': round(p['wideband_sps']
-                                       / p['rt_factor'] / 1e6, 3)}
+                                       / p['rt_factor'] / 1e6, 3),
+                         'fmt': p.get('sample_format', 'CS16')}
                         for p in points]
     # decode self-verification gates the headline: a point only counts
     # as real-time if every emitting channel decoded (nearly) every pass
@@ -377,8 +392,9 @@ def main() -> int:
         best = max(realtime, key=lambda p: p['channels'])
         value = best['channels']
         headline = ('max MEASURED real-time HFDL channels, FULL pipeline: '
-                    'wideband CS16 capture -> upload -> channelizer -> '
-                    'demod -> Viterbi -> protocol -> text output '
+                    f"wideband {best.get('sample_format', 'CS16')} capture "
+                    '-> upload -> channelizer -> demod -> Viterbi -> '
+                    'protocol -> text output '
                     f"(1 {best['platform']} device, rt_factor "
                     f"{best['rt_factor']:.2f} at {best['channels']} ch @ "
                     f"{best['wideband_sps']/best['rt_factor']/1e6:.3f} Msps"
