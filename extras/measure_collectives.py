@@ -10,9 +10,11 @@ analytic comm_model so prediction and compilation can be compared line
 by line.
 
 Programs measured (the whole steady-state set of the sharded path):
-  * frontend step   (ShardedFrontend._step: halo ppermute + tail psum)
-  * fs1 append      (Channelizer._fs1_append: the P('chan','time') ->
-                     ring-layout reshard, the one bulk redistribution)
+  * frontend step   (ShardedFrontend._step: halo ppermute + tail psum +
+                     the explicit all_to_all reshard to the demod layout,
+                     the one bulk redistribution)
+  * fs1 append      (Channelizer._fs1_append: chunk arrives pre-resharded,
+                     must compile collective-free)
   * resample        (Channelizer._resample)
   * demod step      (channel.channel_step on the sharded batch)
 
@@ -71,11 +73,12 @@ def collectives_in(compiled) -> dict:
                      if op == k or op.startswith(k + '-')), None)
         if kind is None:
             continue
-        if shape_tok.startswith('('):
-            nbytes = sum(_shape_bytes(t.strip())
-                         for t in shape_tok[1:-1].split(','))
-        else:
-            nbytes = _shape_bytes(shape_tok)
+        # tuple results (e.g. the decomposed tiled all-to-all) sum their
+        # element shapes; findall is immune to commas inside dims
+        nbytes = sum(
+            int(np.prod([int(d) for d in m.group(2).split(',') if d] or [1]))
+            * _DTYPE_BYTES.get(m.group(1), 4)
+            for m in _SHAPE_RE.finditer(shape_tok))
         out[kind] = out.get(kind, 0) + nbytes
     return out
 
@@ -111,12 +114,13 @@ def main() -> int:
         'calls_per_stream_s': fs / fe.super_len,
     }
 
-    # 2. fs1 append: the P('chan','time') -> ring-layout reshard
+    # 2. fs1 append: the frontend step already delivers the chunk in the
+    # ring's P(('chan','time'), None) layout (explicit all_to_all inside
+    # the shard_map), so the append must compile collective-free
     nb = place_global(
         np.zeros((ch.rows, fe.nb_cols), np.complex64),
-        jax.sharding.NamedSharding(mesh,
-                                   jax.sharding.PartitionSpec('chan',
-                                                              'time')))
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(('chan', 'time'), None)))
     ch._ensure_rings()
     lowered = type(ch)._fs1_append.lower(ch, ch._fs1_ring, nb,
                                          ch._fs1_wcur)
@@ -154,9 +158,19 @@ def main() -> int:
         p['calls_per_stream_s'] = round(p['calls_per_stream_s'], 3)
         total += p['bytes_per_stream_s']
 
+    # reconciliation: the all-to-all's HLO result bytes are per-DEVICE
+    # and include the 1/T share that stays local; the cross-chip volume
+    # is result x ndev x cadence x (T-1)/T, which must equal the model's
+    # fs1_reshard term exactly
+    T = mesh.shape['time']
+    a2a = programs['frontend_step']['collectives'].get('all-to-all', 0)
+    reshard_measured = int(a2a * mesh.devices.size
+                           * (fs / fe.super_len) * (T - 1) / T)
+
     out = {
         'metric': 'measured collective volumes (from compiled HLO), '
                   'sharded production programs',
+        'fs1_reshard_cross_chip_bytes_per_s_measured': reshard_measured,
         'devices': int(mesh.devices.size),
         'mesh': {k: int(v) for k, v in mesh.shape.items()},
         'channels': nch,
@@ -173,15 +187,17 @@ def main() -> int:
             'frontend halo: measured collective-permute matches the '
             'model exactly ((T-1) x overlap x 8 B per super-block); the '
             'carried-tail psum adds an equal-sized all-reduce the model '
-            'folds into the halo term.',
-            'fs1_append: GSPMD cannot partition the modular ring '
-            'scatter, so it ALL-GATHERS the whole fs1 ring per append '
-            'instead of resharding just the appended chunk -- measured '
-            "5.4x the model's reshard bytes at this geometry.  "
-            'Workaround for pod deployment: an explicit shard_map '
-            'reshard (all_to_all of the chunk) before a local append; '
-            'the single-chip superstep path (the headline) has no such '
-            'boundary.',
+            'folds into the halo term.  The all-to-all term is the fs1 '
+            'reshard (see below).',
+            'fs1 reshard: left to GSPMD, the ring-append boundary '
+            'compiled to a full-ring ALL-GATHER per append (measured '
+            "5.4x the model's reshard bytes, r5 finding).  Fixed by an "
+            'explicit lax.all_to_all over the time axis inside the '
+            "frontend's shard_map, delivering the chunk already in the "
+            "ring's P(('chan','time'), None) layout: the all-to-all "
+            'bytes appear in frontend_step (exactly (T-1)/T of the fs1 '
+            'stream, the analytic minimum) and fs1_append compiles '
+            'collective-free.',
             'demod step: zero bulk collectives confirmed (channels are '
             'fully data-parallel); the small all-gather is ringmeta '
             'control traffic.',

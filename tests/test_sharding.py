@@ -68,6 +68,68 @@ def test_time_sharded_receiver_matches_default():
         assert abs(results[0][1][chan] - results[1][1][chan]) < 0.1
 
 
+def test_fs1_reshard_is_explicit_all_to_all():
+    """The fs1 reshard must be the explicit all_to_all inside the
+    frontend step, NOT a GSPMD full-ring all-gather at the ring-append
+    boundary (r5 finding: left implicit, GSPMD compiled the append to a
+    5.4x all-gather).  Pins: (a) frontend_step contains an all-to-all of
+    exactly one fs1 chunk, (b) _fs1_append compiles collective-free."""
+    import re
+
+    import numpy as np
+    from dumphfdl_tpu.parallel.sharding import (ShardedWidebandReceiver,
+                                                make_mesh, place_global)
+
+    fs, center = 432_000, 10_000_000
+    nch = 16
+    chans = [center + (i - nch // 2) * 8000 for i in range(nch)]
+    mesh = make_mesh(jax.devices()[:8])          # (time=2, chan=4)
+    rx = ShardedWidebandReceiver(fs, center, chans, mesh=mesh)
+    fe, ch = rx.frontend, rx.channelizer
+
+    def collective_bytes(compiled):
+        """Per-collective-kind result ELEMENT counts from the optimized
+        HLO (tuple-shaped results -- e.g. the decomposed tiled
+        all-to-all -- sum their elements)."""
+        txt = compiled.as_text()
+        out = {}
+        for line in txt.splitlines():
+            m = re.match(r'\s*%?[\w.\-]+ = ((?:\([^)]*\)|\S+)) ([\w\-]+)\(',
+                         line.strip())
+            if not m:
+                continue
+            shape, op = m.groups()
+            for kind in ('all-gather', 'all-to-all', 'collective-permute',
+                         'all-reduce'):
+                if op == kind or op.startswith(kind + '-'):
+                    n = 0
+                    for dims in re.findall(r'\[([0-9,]*)\]', shape):
+                        k = 1
+                        for d in (dims.split(',') if dims else []):
+                            k *= int(d)
+                        n += k
+                    out[kind] = out.get(kind, 0) + n
+        return out
+
+    xs = place_global(np.zeros((fe.T, fe.span), np.complex64), fe._x_shard)
+    ph0 = place_global(np.zeros((fe.T, ch.rows), np.float32), fe._ph_shard)
+    front = collective_bytes(fe._step.lower(
+        xs, fe._tail, fe._idx, fe._hwin, fe._residual_dev, ph0).compile())
+    # (a) the reshard rides the frontend step as one all-to-all whose
+    # per-device result is this device's full fs1 chunk share (the HLO
+    # is one SPMD program, so counts are per-device)
+    ndev = int(mesh.devices.size)
+    assert front.get('all-to-all', 0) == ch.rows * fe.nb_cols // ndev
+    assert front.get('all-gather', 0) == 0
+
+    nb = place_global(np.zeros((ch.rows, fe.nb_cols), np.complex64),
+                      ch._fs1_ring.sharding)
+    app = collective_bytes(type(ch)._fs1_append.lower(
+        ch, ch._fs1_ring, nb, ch._fs1_wcur).compile())
+    # (b) chunk and ring shardings now agree -> no collectives at all
+    assert not app, f'fs1 append compiled collectives: {app}'
+
+
 def test_channelbank_sharded_matches_single():
     """ChannelBank with an explicit 8-device channel mesh decodes the
     same frame as the unsharded bank (padded dummy channels included)."""
