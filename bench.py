@@ -256,6 +256,13 @@ outputs.shutdown()
 '''
 
 
+# the tunneled axon backend cold-starts in seconds to many MINUTES
+# (measured 324 s once); children running back-to-back keep it warm, so
+# one dedicated warm-up child up front keeps the rung budgets meaningful
+_WARM_CHILD = _PRELUDE + r'''
+print(json.dumps({'warm': True, 'platform': platform}), flush=True)
+'''
+
 FAILURES: dict[str, str] = {}     # child label -> why it produced no metric
 
 
@@ -278,8 +285,13 @@ def run_child(code: str, key: str, force_cpu: bool, timeout: float,
             out = subprocess.run([sys.executable, '-c', code],
                                  capture_output=True, text=True,
                                  timeout=deadline, env=env, cwd=repo)
-        except subprocess.TimeoutExpired:
-            FAILURES[label] = f'timeout after {deadline:.0f}s'
+        except subprocess.TimeoutExpired as te:
+            part = te.stderr or b''
+            if isinstance(part, bytes):
+                part = part.decode('utf-8', 'replace')
+            tail = (part.strip().splitlines() or ['no output'])[-1]
+            FAILURES[label] = (f'timeout after {deadline:.0f}s '
+                               f'(last: {tail[-160:]})')
             return None
         sys.stderr.write(out.stderr[-2000:])
         for line in reversed(out.stdout.strip().splitlines()):
@@ -319,8 +331,17 @@ def main() -> int:
         parts = p_.split('@')
         search.append((int(parts[0]), int(parts[1]),
                        parts[2] if len(parts) > 2 else 'CS16'))
+    # warm the tunnel once so every rung child sees a hot backend; two
+    # attempts absorb the worst measured cold-start, and a total miss
+    # skips straight to the CPU fallback instead of burning rung budgets
+    warm = run_child(_WARM_CHILD, 'warm', force_cpu=False, timeout=900)
+    if warm is None:
+        warm = run_child(_WARM_CHILD, 'warm', force_cpu=False, timeout=900)
+
     points = []
     for nch, fs, fmt in search:
+        if warm is None:
+            break
         # larger configs synthesize/compile longer; fewer warm passes
         # above 1024 ch keep the child inside its watchdog
         r = run_child(_E2E_CHILD, 'e2e_rt_channels', force_cpu=False,

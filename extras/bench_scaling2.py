@@ -85,9 +85,10 @@ def run_point(n_dev: int, fs: int, nch: int, stream_s: float,
     coll_fe = collectives_in(fe._step.lower(
         xs_d, fe._tail, fe._idx, fe._hwin, fe._residual_dev,
         ph0).compile())
+    # the frontend's explicit all_to_all delivers the chunk already in
+    # the ring's P(('chan','time'), None) layout (r5 reshard fix)
     nb = place_global(np.zeros((ch.rows, fe.nb_cols), np.complex64),
-                      jax.sharding.NamedSharding(
-                          mesh, jax.sharding.PartitionSpec('chan', 'time')))
+                      ch._fs1_ring.sharding)
     coll_app = collectives_in(type(ch)._fs1_append.lower(
         ch, ch._fs1_ring, nb, ch._fs1_wcur).compile())
     sb_per_s = fs / sl
